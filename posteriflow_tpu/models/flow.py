@@ -1,0 +1,147 @@
+"""Conditional coupling-layer rational-quadratic-spline flow (flax.linen).
+
+The posterior head of the NPE. Functional twin of the reference's
+NSFPosteriorFlow (src/ahsd/models/flows.py:363-779: 10 layers, hidden 256,
+16 bins, tail_bound 5.0, standard-normal base, pinned temperature) with one
+deliberate architectural change mandated by the TPU design (BASELINE
+north_star, SURVEY.md §7 item 3): COUPLING layers instead of autoregressive
+MADE. The reference's inverse runs features×layers = 110 sequential
+conditioner passes per batch; a coupling inverse is the same single pass as
+the forward — each layer is one dense conditioner (MXU) plus an analytic
+elementwise spline solve (VPU). Sampling throughput stops being the
+bottleneck by construction.
+
+Each layer: fixed permutation → split into (identity, transform) halves →
+conditioner MLP(identity ∥ context) emits raw spline params → RQS bijection
+on the transform half. Permutations are seeded round-robin shuffles so every
+dimension is transformed by ~half the layers and mixes with all others.
+
+NaN/railing hygiene mirrors the reference (flows.py:620-655): sampling
+sanitizes non-finite outputs and the scaler's wrap/clamp bounds the result.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posteriflow_tpu.ops.rqs import rqs_forward, rqs_inverse
+
+_SOFTPLUS_INV_1 = 0.5413248546129181   # softplus(x) = 1 - min_derivative
+
+
+def _make_permutations(features: int, num_layers: int,
+                       seed: int = 1234) -> np.ndarray:
+    """[L, D] deterministic permutations, one per layer."""
+    rng = np.random.default_rng(seed)
+    perms = []
+    for _ in range(num_layers):
+        perms.append(rng.permutation(features))
+    return np.stack(perms).astype(np.int32)
+
+
+class Conditioner(nn.Module):
+    """MLP (identity half ∥ context) -> raw RQS params for the transform
+    half. Zero-init output with derivative bias at softplus⁻¹(1) so every
+    layer starts as the identity map."""
+    n_transform: int
+    num_bins: int
+    hidden: int = 256
+    n_hidden_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x_id: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        h = jnp.concatenate([x_id, context], axis=-1)
+        for _ in range(self.n_hidden_layers):
+            h = nn.gelu(nn.Dense(self.hidden)(h))
+        n_raw = 3 * self.num_bins - 1
+        out = nn.Dense(self.n_transform * n_raw,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros)(h)
+        out = out.reshape(*out.shape[:-1], self.n_transform, n_raw)
+        # identity-at-init: uniform bins (zeros) + unit derivatives
+        deriv_bias = jnp.zeros((n_raw,)).at[2 * self.num_bins:].set(
+            _SOFTPLUS_INV_1)
+        return out + deriv_bias
+
+
+class CouplingNSF(nn.Module):
+    """Conditional normalizing flow: data y ∈ [-1,1]^D ↔ base z ~ N(0, I).
+
+    forward  : y -> (z, logdet dz/dy)   [density evaluation / NLL]
+    inverse  : z -> (y, logdet dy/dz)   [sampling]
+    """
+    features: int = 11
+    context_features: int = 288
+    num_layers: int = 10
+    hidden: int = 256
+    num_bins: int = 16
+    tail_bound: float = 5.0
+
+    def setup(self):
+        perms = _make_permutations(self.features, self.num_layers)
+        self._perms = [tuple(p) for p in perms]
+        self._inv_perms = [tuple(np.argsort(p)) for p in perms]
+        n_id = self.features // 2 + self.features % 2          # 6 for D=11
+        self._n_id = n_id
+        self.conditioners = [
+            Conditioner(n_transform=self.features - n_id,
+                        num_bins=self.num_bins, hidden=self.hidden,
+                        name=f"cond_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def _layer_forward(self, i: int, y: jnp.ndarray, context: jnp.ndarray):
+        y = y[..., np.asarray(self._perms[i])]
+        y_id, y_tr = y[..., :self._n_id], y[..., self._n_id:]
+        raw = self.conditioners[i](y_id, context)
+        z_tr, ld = rqs_forward(y_tr, raw, self.num_bins, self.tail_bound)
+        z = jnp.concatenate([y_id, z_tr], axis=-1)
+        return z, ld
+
+    def _layer_inverse(self, i: int, z: jnp.ndarray, context: jnp.ndarray):
+        z_id, z_tr = z[..., :self._n_id], z[..., self._n_id:]
+        raw = self.conditioners[i](z_id, context)
+        y_tr, ld = rqs_inverse(z_tr, raw, self.num_bins, self.tail_bound)
+        y = jnp.concatenate([z_id, y_tr], axis=-1)
+        return y[..., np.asarray(self._inv_perms[i])], ld
+
+    def forward(self, y: jnp.ndarray, context: jnp.ndarray):
+        """y [..., D], context [..., C] -> (z, logdet) with logdet [...]."""
+        ld_total = jnp.zeros(y.shape[:-1], dtype=y.dtype)
+        for i in range(self.num_layers):
+            y, ld = self._layer_forward(i, y, context)
+            ld_total = ld_total + ld
+        return y, ld_total
+
+    def inverse(self, z: jnp.ndarray, context: jnp.ndarray):
+        """z [..., D], context [..., C] -> (y, logdet)."""
+        ld_total = jnp.zeros(z.shape[:-1], dtype=z.dtype)
+        for i in reversed(range(self.num_layers)):
+            z, ld = self._layer_inverse(i, z, context)
+            ld_total = ld_total + ld
+        return z, ld_total
+
+    def log_prob(self, y: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """log q(y | context) under the standard-normal base (the reference's
+        density path: flows.py:727-779 with σ = 1)."""
+        z, ld = self.forward(y, context)
+        log_base = -0.5 * jnp.sum(z ** 2, axis=-1) \
+            - 0.5 * self.features * jnp.log(2.0 * jnp.pi)
+        return log_base + ld
+
+    def sample_with_log_prob(self, z: jnp.ndarray, context: jnp.ndarray):
+        """Push base samples z through the inverse; returns (y, log q(y)).
+        Non-finite outputs are sanitized to 0 (reference: flows.py:626-655)."""
+        y, ld = self.inverse(z, context)
+        y = jnp.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
+        log_base = -0.5 * jnp.sum(z ** 2, axis=-1) \
+            - 0.5 * self.features * jnp.log(2.0 * jnp.pi)
+        return y, log_base - ld
+
+    def __call__(self, y: jnp.ndarray, context: jnp.ndarray):
+        return self.log_prob(y, context)

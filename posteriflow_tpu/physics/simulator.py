@@ -1,0 +1,167 @@
+"""On-device training-data synthesis: priors → waveforms → whitened strain.
+
+This module IS the TPU-native replacement for the reference's entire
+generation + remix machinery (src/ahsd/data/dataset_generator.py,
+experiments/remix_data.py): because every stage — prior sampling, FD
+waveform, detector projection, whitening, noise — is jittable JAX, a fresh,
+never-repeated batch is synthesized INSIDE the training step. The remix
+augmentations (noise swap, distance rescale with exact relabel, time shift)
+are subsumed: every example already has fresh noise and freshly drawn
+distance/time. The remaining reference semantics are kept explicitly:
+
+  - per-signal SNR is MEASURED, never targeted; signals below min_snr are
+    dropped and ranks re-compacted (dataset_generator.py:357-360);
+  - signals are rank-ordered by the loudness proxy Mc^(5/6)/d_L
+    (remix_data.py:97-105, 289);
+  - detector dropout replaces a detector with unit white noise — the same
+    fill inference uses for missing detectors (remix_data.py:261-278);
+  - network SNR = L2 norm of the summed whitened signal over kept detectors
+    (remix_data.py:280-286);
+  - design-whitened events carry asd_bands = 0 (remix_data.py:301-311).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from posteriflow_tpu import N_PARAMS
+from posteriflow_tpu.physics.constants import (F_LOWER, FREQS, N_DETECTORS,
+                                               N_RFFT, N_SAMPLES)
+from posteriflow_tpu.physics.projection import GMST_REF, project_to_network
+from posteriflow_tpu.physics.psd import default_network_asd
+from posteriflow_tpu.physics.waveforms.imr import imr_polarizations
+from posteriflow_tpu.physics.whiten import fd_white_to_td, whiten_fd
+from posteriflow_tpu.prior import PriorConfig, loudness, sample_batch
+
+_FREQS = jnp.asarray(FREQS, dtype=jnp.float32)
+
+# Non-empty proper subsets of (H1, L1, V1) kept under detector dropout
+# (reference: remix_data.py:154)
+_KEEP_CONFIGS = jnp.asarray([
+    [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1],
+], dtype=jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration (hashable jit arg)."""
+    prior: PriorConfig = PriorConfig()
+    min_snr: float = 8.0
+    det_dropout: float = 0.0
+    psd_bands: int = 16
+    f_lower: float = F_LOWER
+    add_noise: bool = True
+
+    @property
+    def max_signals(self) -> int:
+        return self.prior.max_signals
+
+
+class EventBatch(NamedTuple):
+    """One training batch, all leading dims = B."""
+    strain: jax.Array       # [B, n_det, T] whitened strain (noise + signals)
+    params: jax.Array       # [B, S, N_PARAMS] physical, rank-ordered
+    n_sig: jax.Array        # [B] int32, signals surviving the SNR gate
+    net_snr: jax.Array      # [B] network SNR of the summed injection
+    asd_bands: jax.Array    # [B, n_det, K] sensitivity summary (0 = design)
+    det_mask: jax.Array     # [B, n_det] 1 = detector present
+
+
+def signal_white_fd(params: jax.Array, asd: jax.Array,
+                    f_lower: float = F_LOWER) -> jax.Array:
+    """One signal's whitened per-detector FD strain [n_det, N_RFFT] complex.
+
+    params: [N_PARAMS] physical (PARAM_NAMES order). In the whitened-FD
+    normalization, per-detector optimal SNR is the plain L2 norm over bins.
+    """
+    (m1, m2, d, ra, dec, theta_jn, psi, phase, t_off, a1, a2) = params
+    hp, hc = imr_polarizations(_FREQS, m1, m2, a1, a2, d, theta_jn, phase,
+                               f_lower)
+    h_det = project_to_network(_FREQS, hp, hc, ra, dec, psi, t_off)
+    return whiten_fd(h_det, asd)
+
+
+def _rank_and_gate(params, h_w, n_sig, min_snr):
+    """Loudness-sort, SNR-gate, and compact an event's signal slots.
+
+    params [S, P], h_w [S, n_det, F], n_sig scalar. Returns (params_ranked,
+    h_w_ranked, snr_ranked, n_valid) with surviving signals packed first in
+    loudness order and dead slots zero-masked."""
+    s = params.shape[0]
+    loud = loudness(params[:, 0], params[:, 1], params[:, 2])
+    order = jnp.argsort(-loud)
+    params = params[order]
+    h_w = h_w[order]
+
+    slot_live = jnp.arange(s) < n_sig
+    snr = jnp.sqrt(jnp.sum(jnp.abs(h_w) ** 2, axis=(-2, -1)))      # [S]
+    keep = slot_live & (snr >= min_snr)
+
+    # stable-compact kept signals to the front (loudness order preserved)
+    perm = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    params = params[perm]
+    h_w = h_w[perm]
+    snr = snr[perm]
+    n_valid = jnp.sum(keep).astype(jnp.int32)
+
+    live = (jnp.arange(s) < n_valid)
+    params = jnp.where(live[:, None], params, 0.0)
+    h_w = jnp.where(live[:, None, None], h_w, 0.0)
+    snr = jnp.where(live, snr, 0.0)
+    return params, h_w, snr, n_valid
+
+
+def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
+                   asd: jax.Array, cfg: SimConfig):
+    """Assemble one whitened 3-detector training event.
+
+    params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Returns an
+    EventBatch with no leading batch dim."""
+    k_noise, k_drop, k_cfg, k_fill = jax.random.split(key, 4)
+
+    h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
+    params, h_w, _snr, n_valid = _rank_and_gate(params, h_w, n_sig,
+                                                cfg.min_snr)
+
+    sig_fd = jnp.sum(h_w, axis=0)                                  # [n_det, F]
+    sig_td = fd_white_to_td(sig_fd, N_SAMPLES)                     # [n_det, T]
+
+    # detector dropout: pick a keep-config with prob det_dropout
+    drop = (jax.random.uniform(k_drop) < cfg.det_dropout)
+    keep_cfg = _KEEP_CONFIGS[jax.random.randint(k_cfg, (), 0,
+                                                _KEEP_CONFIGS.shape[0])]
+    det_mask = jnp.where(drop, keep_cfg, jnp.ones(N_DETECTORS))
+
+    # network SNR over KEPT detectors only (dropped signal is gone)
+    net_snr = jnp.sqrt(jnp.sum(det_mask * jnp.sum(sig_td ** 2, axis=-1)))
+
+    noise = jax.random.normal(k_noise, (N_DETECTORS, N_SAMPLES))
+    fill = jax.random.normal(k_fill, (N_DETECTORS, N_SAMPLES))
+    if cfg.add_noise:
+        strain = jnp.where(det_mask[:, None] > 0,
+                           noise + sig_td, fill)
+    else:
+        strain = sig_td * det_mask[:, None]
+
+    asd_bands = jnp.zeros((N_DETECTORS, cfg.psd_bands), dtype=jnp.float32)
+    return EventBatch(strain.astype(jnp.float32), params, n_valid,
+                      net_snr.astype(jnp.float32), asd_bands, det_mask)
+
+
+def simulate_batch(key: jax.Array, batch_size: int,
+                   cfg: SimConfig = SimConfig(),
+                   asd: jax.Array | None = None) -> EventBatch:
+    """Synthesize a fresh training batch on-device. Fully jittable; the
+    training step calls this inside jit so data generation fuses with the
+    forward/backward pass (SURVEY.md §7 design stance)."""
+    if asd is None:
+        asd = default_network_asd()
+    k_prior, k_sim = jax.random.split(key)
+    params, n_sig = sample_batch(k_prior, batch_size, cfg.prior)
+    keys = jax.random.split(k_sim, batch_size)
+    return jax.vmap(lambda k, p, n: simulate_event(k, p, n, asd, cfg))(
+        keys, params, n_sig)

@@ -1,0 +1,196 @@
+"""Astrophysical parameter priors — jittable sampling + closed-form density.
+
+Reproduces the reference sampler's population (src/ahsd/data/parameter_sampler.py):
+  - event mix BBH 0.55 / BNS 0.20 / NSBH 0.20 / noise 0.05
+  - BBH masses flat-in-log (m1 log-uniform, m2 log-uniform given m2 ≤ m1)
+  - BNS masses uniform (m2 uniform given m2 ≤ m1); NSBH: log-uniform BH +
+    uniform NS companion
+  - distance P(d) ∝ d² on per-type bounds (or uniform via config)
+  - isotropic sky / inclination, psi ~ U(0, π), phase ~ U(0, 2π)
+  - geocent_time ~ U(-1.5, 1.5) s offset from GPS_REF
+  - aligned spin magnitudes per type
+
+Everything is branchless (compute all three event-type candidates, select by a
+categorical draw) so a whole [B, MAX_SIGNALS] parameter block samples inside
+one jitted training step. The closed-form log-density backs the
+importance-sampling correction (reference: src/ahsd/inference/importance.py:45-66).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from posteriflow_tpu import N_PARAMS, PARAM_NAMES
+
+# Event-type codes (fixed order everywhere)
+BBH, BNS, NSBH = 0, 1, 2
+EVENT_TYPES = ("BBH", "BNS", "NSBH")
+
+# Per-type bounds, indexable by event-type code. [3]-vectors.
+_MASS_LO = (5.0, 1.0, 3.0)       # BBH lo, BNS lo, NSBH BH lo
+_MASS_HI = (100.0, 2.5, 100.0)
+_M2_LO = (5.0, 1.0, 1.0)         # secondary lower bound (NSBH NS: 1.0)
+_M2_HI = (100.0, 2.5, 2.5)       # secondary upper bound  (NSBH NS: 2.5)
+_DIST_LO = (50.0, 10.0, 20.0)
+_DIST_HI = (2000.0, 300.0, 800.0)
+_SPIN1_HI = (0.99, 0.05, 0.99)   # primary spin (NSBH primary = BH)
+_SPIN2_HI = (0.99, 0.05, 0.05)   # secondary spin (NSBH secondary = NS)
+
+_T_OFF_LO, _T_OFF_HI = -1.5, 1.5
+
+IDX = {name: i for i, name in enumerate(PARAM_NAMES)}
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    """Static prior configuration (hashable: safe as a jit static arg)."""
+    # event-type mixture over (BBH, BNS, NSBH) — renormalized; the reference's
+    # 5% 'noise' fraction is handled by n_sig=0 events, not by a type here.
+    type_probs: tuple = (0.55 / 0.95, 0.20 / 0.95, 0.20 / 0.95)
+    distance_prior: str = "comoving_d2"        # or "uniform"
+    # overlap structure (reference: dataset_generator.py:202-206 +
+    # configs/data_config.yaml: overlap_fraction 0.45)
+    max_signals: int = 5
+    overlap_fraction: float = 0.45
+    noise_fraction: float = 0.05
+
+
+def _uniform(key, lo, hi, shape=()):
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
+def sample_signal_params(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Array:
+    """Draw ONE signal's 11 physical parameters -> [N_PARAMS] float32.
+
+    Branchless over event type: candidates for all three types are drawn from
+    a shared set of uniforms, then selected by a categorical draw — cheap
+    scalar math that vmaps over arbitrary batch shapes.
+    """
+    keys = jax.random.split(key, 10)
+    probs = jnp.asarray(cfg.type_probs)
+    et = jax.random.categorical(keys[0], jnp.log(probs))       # scalar int
+
+    def pick(table):
+        return jnp.asarray(table)[et]
+
+    m_lo, m_hi = pick(_MASS_LO), pick(_MASS_HI)
+    m2_lo, m2_hi = pick(_M2_LO), pick(_M2_HI)
+
+    # Primary mass: log-uniform for BBH/NSBH, uniform for BNS.
+    u1 = _uniform(keys[1], 0.0, 1.0)
+    m1_log = jnp.exp(jnp.log(m_lo) + u1 * (jnp.log(m_hi) - jnp.log(m_lo)))
+    m1_lin = m_lo + u1 * (m_hi - m_lo)
+    m1 = jnp.where(et == BNS, m1_lin, m1_log)
+
+    # Secondary: BBH log-uniform on [m_lo, m1]; BNS uniform on [lo, m1];
+    # NSBH uniform NS on its own box (then enforce m1 >= m2).
+    u2 = _uniform(keys[2], 0.0, 1.0)
+    m2_bbh = jnp.exp(jnp.log(m_lo) + u2 * (jnp.log(m1) - jnp.log(m_lo)))
+    m2_bns = m2_lo + u2 * (m1 - m2_lo)
+    m2_nsbh = m2_lo + u2 * (m2_hi - m2_lo)
+    m2 = jnp.where(et == BBH, m2_bbh, jnp.where(et == BNS, m2_bns, m2_nsbh))
+    m1, m2 = jnp.maximum(m1, m2), jnp.minimum(m1, m2)
+
+    # Distance: inverse-CDF of P(d) ∝ d² (or uniform).
+    d_lo, d_hi = pick(_DIST_LO), pick(_DIST_HI)
+    u = _uniform(keys[3], 0.0, 1.0)
+    if cfg.distance_prior == "uniform":
+        dist = d_lo + u * (d_hi - d_lo)
+    else:
+        dist = (d_lo ** 3 + u * (d_hi ** 3 - d_lo ** 3)) ** (1.0 / 3.0)
+
+    ra = _uniform(keys[4], 0.0, 2 * math.pi)
+    dec = jnp.arcsin(_uniform(keys[5], -1.0, 1.0))
+    theta_jn = jnp.arccos(_uniform(keys[6], -1.0, 1.0))
+    psi = _uniform(keys[7], 0.0, math.pi)
+    phase_key, t_key = jax.random.split(keys[8])
+    phase = _uniform(phase_key, 0.0, 2 * math.pi)
+    t_off = _uniform(t_key, _T_OFF_LO, _T_OFF_HI)
+
+    s1_key, s2_key = jax.random.split(keys[9])
+    a1 = _uniform(s1_key, 0.0, pick(_SPIN1_HI))
+    a2 = _uniform(s2_key, 0.0, pick(_SPIN2_HI))
+
+    return jnp.stack([m1, m2, dist, ra, dec, theta_jn, psi, phase,
+                      t_off, a1, a2]).astype(jnp.float32)
+
+
+def sample_n_signals(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Array:
+    """Per-event signal count: 0 w.p. noise_fraction, 2..max_signals w.p.
+    overlap_fraction, else 1 (reference: dataset_generator.py:202-206 with
+    the 'noise' event type folded in)."""
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1)
+    n_overlap = jax.random.randint(k2, (), 2, cfg.max_signals + 1)
+    n = jnp.where(u < cfg.noise_fraction, 0,
+                  jnp.where(u < cfg.noise_fraction + cfg.overlap_fraction,
+                            n_overlap, 1))
+    return n.astype(jnp.int32)
+
+
+def sample_event(key: jax.Array, cfg: PriorConfig = PriorConfig()):
+    """One training event: ([MAX_SIGNALS, N_PARAMS] params, n_sig scalar).
+
+    All MAX_SIGNALS slots hold valid draws; slots >= n_sig are masked
+    downstream (static shapes for XLA)."""
+    kn, kp = jax.random.split(key)
+    n_sig = sample_n_signals(kn, cfg)
+    params = jax.vmap(lambda k: sample_signal_params(k, cfg))(
+        jax.random.split(kp, cfg.max_signals))
+    return params, n_sig
+
+
+def sample_batch(key: jax.Array, batch: int, cfg: PriorConfig = PriorConfig()):
+    """[B, MAX_SIGNALS, N_PARAMS] params + [B] n_sig."""
+    return jax.vmap(lambda k: sample_event(k, cfg))(jax.random.split(key, batch))
+
+
+# ── Closed-form log-density (importance sampling) ────────────────────────────
+
+def log_prior_bbh(theta: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Array:
+    """log p(theta) for the BBH training prior, theta [..., N_PARAMS].
+
+    Matches the reference's closed form (importance.py:45-66): flat-in-log
+    masses with m2 ≤ m1 (joint density 1/(m1·m2·logrange·log(m1/lo))),
+    d² distance, isotropic angles, uniform psi/phase/time, uniform spins.
+    Returns -inf outside support.
+    """
+    m1, m2, d = theta[..., 0], theta[..., 1], theta[..., 2]
+    dec, theta_jn = theta[..., 4], theta[..., 5]
+    t, a1, a2 = theta[..., 8], theta[..., 9], theta[..., 10]
+
+    lo, hi = _MASS_LO[BBH], _MASS_HI[BBH]
+    d_lo, d_hi = _DIST_LO[BBH], _DIST_HI[BBH]
+    lr = math.log(hi) - math.log(lo)
+
+    lp = -jnp.log(m1) - lr                      # m1 log-uniform
+    lp += -jnp.log(m2) - jnp.log(jnp.log(m1 / lo))   # m2 | m1 log-uniform
+    if cfg.distance_prior == "uniform":
+        lp += -math.log(d_hi - d_lo)
+    else:
+        lp += jnp.log(3.0 * d ** 2 / (d_hi ** 3 - d_lo ** 3))
+    lp += -math.log(2 * math.pi)                # ra
+    lp += jnp.log(jnp.cos(dec) / 2.0)           # dec: cos(dec)/2 on [-π/2, π/2]
+    lp += jnp.log(jnp.sin(theta_jn) / 2.0)      # theta_jn: sin/2 on [0, π]
+    lp += -math.log(math.pi)                    # psi
+    lp += -math.log(2 * math.pi)                # phase
+    lp += -math.log(_T_OFF_HI - _T_OFF_LO)      # geocent_time
+    lp += -2.0 * math.log(_SPIN1_HI[BBH])       # a1, a2 uniform
+
+    inside = ((m1 >= lo) & (m1 <= hi) & (m2 >= lo) & (m2 <= m1)
+              & (d >= d_lo) & (d <= d_hi)
+              & (t >= _T_OFF_LO) & (t <= _T_OFF_HI)
+              & (a1 >= 0) & (a1 <= _SPIN1_HI[BBH])
+              & (a2 >= 0) & (a2 <= _SPIN2_HI[BBH]))
+    return jnp.where(inside, lp, -jnp.inf)
+
+
+def loudness(m1: jax.Array, m2: jax.Array, d: jax.Array) -> jax.Array:
+    """Rank-ordering proxy: whitened amplitude ~ Mc^(5/6)/d_L
+    (reference: experiments/remix_data.py:44-46)."""
+    mc = (m1 * m2) ** 0.6 / (m1 + m2) ** 0.2
+    return mc ** (5.0 / 6.0) / jnp.maximum(d, 1.0)

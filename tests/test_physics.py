@@ -1,0 +1,258 @@
+"""Physics-kernel validation — the JAX analog of the reference's tier-3
+correctness net (scripts/validate_pipeline_physics.py:2-10): unit-variance
+whitening, inter-detector noise decorrelation, 1/d_L amplitude scaling,
+geometric time delays, antenna patterns — plus waveform sanity (SNR
+magnitude vs the known aLIGO BNS horizon, merger placement, L2=SNR)."""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posteriflow_tpu.physics import constants as C
+from posteriflow_tpu.physics.detectors import (VERTICES, antenna_pattern,
+                                               gmst_from_gps,
+                                               time_delay_from_geocenter)
+from posteriflow_tpu.physics.psd import (aligo_psd, asd_from_psd,
+                                         default_network_asd)
+from posteriflow_tpu.physics.simulator import (SimConfig, signal_white_fd,
+                                               simulate_batch)
+from posteriflow_tpu.physics.waveforms.imr import (final_state,
+                                                   imr_polarizations,
+                                                   qnm_frequency)
+from posteriflow_tpu.physics.waveforms.taylorf2 import taylorf2_polarizations
+from posteriflow_tpu.physics.whiten import (colored_noise_td, fd_white_to_td,
+                                            matched_filter_snr_fd,
+                                            matched_filter_snr_td, whiten_td)
+
+FREQS = jnp.asarray(C.FREQS, dtype=jnp.float32)
+ASD_H1 = asd_from_psd(aligo_psd(C.FREQS))
+
+
+# ── sidereal time ─────────────────────────────────────────────────────────────
+
+def test_gmst_j2000():
+    """GMST at J2000 epoch (2000-01-01 12:00 UTC) is 280.4606°."""
+    gps_j2000 = 630763213.0          # incl. 13 leap seconds at that epoch
+    got = gmst_from_gps(gps_j2000)
+    want = math.radians(280.46062)
+    # our table uses the fixed 18 s modern offset -> ~5 s epoch error, tiny
+    assert abs(got - want) < 5e-4
+
+
+# ── detector geometry ─────────────────────────────────────────────────────────
+
+@jax.jit
+def _delays_on_grid():
+    ra = jnp.linspace(0, 2 * np.pi, 24)
+    dec = jnp.linspace(-1.4, 1.4, 12)
+    rr, dd = jnp.meshgrid(ra, dec)
+    gmst = jnp.zeros_like(rr)
+    return tuple(time_delay_from_geocenter(i, rr, dd, gmst) for i in range(3))
+
+
+def test_time_delay_bounds():
+    """Max |delay| between detector pairs = baseline/c (H1-L1 ≈ 10.0 ms)."""
+    d_h, d_l, d_v = _delays_on_grid()
+    base_hl = np.linalg.norm(VERTICES[0] - VERTICES[1]) / C.C_SI
+    assert base_hl == pytest.approx(10.0e-3, rel=0.05)
+    assert float(jnp.max(jnp.abs(d_h - d_l))) <= base_hl + 1e-5
+    # near-maximal delay must be reachable somewhere on the sky grid
+    assert float(jnp.max(jnp.abs(d_h - d_l))) >= 0.8 * base_hl
+    for d in (d_h, d_l, d_v):
+        assert float(jnp.max(jnp.abs(d))) < 0.0215   # < Earth radius / c
+
+
+@jax.jit
+def _antenna_samples():
+    k = jax.random.PRNGKey(0)
+    ra = jax.random.uniform(k, (5000,), minval=0, maxval=2 * np.pi)
+    dec = jnp.arcsin(jax.random.uniform(jax.random.PRNGKey(1), (5000,),
+                                        minval=-1, maxval=1))
+    psi = jax.random.uniform(jax.random.PRNGKey(2), (5000,), minval=0,
+                             maxval=np.pi)
+    return antenna_pattern(0, ra, dec, psi, jnp.zeros(5000))
+
+
+def test_antenna_pattern_statistics():
+    """⟨F₊²⟩ over isotropic sky and uniform psi = 1/5 (standard result)."""
+    fp, fc = _antenna_samples()
+    assert float(jnp.mean(fp ** 2)) == pytest.approx(0.2, abs=0.02)
+    assert float(jnp.mean(fc ** 2)) == pytest.approx(0.2, abs=0.02)
+    assert float(jnp.max(fp ** 2 + fc ** 2)) <= 1.0 + 1e-5
+
+
+def test_antenna_psi_rotation():
+    """psi -> psi + π/2 flips the sign of both F₊ and F×."""
+    @jax.jit
+    def pair():
+        a = antenna_pattern(0, 1.0, 0.3, 0.2, 0.0)
+        b = antenna_pattern(0, 1.0, 0.3, 0.2 + np.pi / 2, 0.0)
+        return a, b
+    (fp0, fc0), (fp1, fc1) = pair()
+    assert float(fp1) == pytest.approx(-float(fp0), abs=1e-6)
+    assert float(fc1) == pytest.approx(-float(fc0), abs=1e-6)
+
+
+# ── whitening / noise ─────────────────────────────────────────────────────────
+
+@jax.jit
+def _whitened_noise_batch(key):
+    noise = jax.vmap(lambda k: colored_noise_td(k, ASD_H1))(
+        jax.random.split(key, 8))
+    return whiten_td(noise, ASD_H1)
+
+
+def test_whitened_noise_unit_variance():
+    white = _whitened_noise_batch(jax.random.PRNGKey(0))
+    std = float(jnp.std(white))
+    assert 0.9 < std < 1.1, std
+
+
+@jax.jit
+def _network_whitened(key):
+    asd = default_network_asd()
+    keys = jax.random.split(key, 6)
+    n = jnp.stack([colored_noise_td(keys[i], asd[i % 3]) for i in range(6)])
+    return whiten_td(n, asd[jnp.arange(6) % 3])
+
+
+def test_whitened_noise_decorrelated_across_detectors():
+    w = _network_whitened(jax.random.PRNGKey(1))
+    c = np.corrcoef(np.asarray(w))
+    off = c[~np.eye(6, dtype=bool)]
+    assert np.abs(off).max() < 0.05
+
+
+# ── waveforms ─────────────────────────────────────────────────────────────────
+
+@partial(jax.jit, static_argnums=())
+def _bns_snr(d):
+    hp, _ = taylorf2_polarizations(FREQS, 1.4, 1.4, 0.0, 0.0, d, 0.0, 0.0)
+    return matched_filter_snr_fd(hp, ASD_H1)
+
+
+def test_snr_matches_bns_horizon():
+    """Optimal (face-on) 1.4+1.4 BNS at 100 Mpc in a single aLIGO:
+    known design horizon ≈ 445 Mpc at SNR 8 -> SNR(100 Mpc) ≈ 36."""
+    snr = float(_bns_snr(100.0))
+    assert 22.0 < snr < 55.0, snr
+
+
+def test_amplitude_scales_inverse_distance():
+    r = float(_bns_snr(100.0) / _bns_snr(400.0))
+    assert r == pytest.approx(4.0, rel=1e-3)
+
+
+@jax.jit
+def _td_fd_snr_pair():
+    hp, _ = taylorf2_polarizations(FREQS, 1.4, 1.4, 0.0, 0.0, 100.0, 0.0, 0.0)
+    h_td = jnp.fft.irfft(hp, n=C.N_SAMPLES) * C.SAMPLE_RATE
+    w = whiten_td(h_td, ASD_H1)
+    return (matched_filter_snr_td(h_td, ASD_H1),
+            matched_filter_snr_fd(hp, ASD_H1),
+            jnp.sqrt(jnp.sum(w ** 2)))
+
+
+def test_td_snr_equals_fd_snr():
+    s_td, s_fd, _ = _td_fd_snr_pair()
+    assert float(s_td) == pytest.approx(float(s_fd), rel=1e-3)
+
+
+def test_whitened_l2_equals_snr():
+    """The identity every augmentation relies on (remix_data.py:280-286)."""
+    s_td, _, l2 = _td_fd_snr_pair()
+    assert float(l2) == pytest.approx(float(s_td), rel=1e-3)
+
+
+def test_imr_final_state_known_values():
+    """Equal-mass nonspinning: a_f ≈ 0.686, E_rad ≈ 4.8%."""
+    @jax.jit
+    def fs():
+        mf, af = final_state(30.0, 30.0, 0.0, 0.0)
+        return mf, af, *qnm_frequency(mf, af)
+    mf, af, f_rd, f_damp = fs()
+    assert float(af) == pytest.approx(0.687, abs=0.02)
+    assert float(mf) == pytest.approx(60.0 * (1 - 0.048), rel=0.01)
+    # 60 Msun remnant ringdown ≈ 300 Hz ballpark
+    assert 200 < float(f_rd) < 400
+    assert float(f_damp) > 0
+
+
+@jax.jit
+def _bbh_event_td():
+    params = jnp.asarray([36.0, 29.0, 400.0, 1.0, -0.5, 0.0, 0.3, 0.0,
+                          0.5, 0.0, 0.0], dtype=jnp.float32)
+    h_w = signal_white_fd(params, default_network_asd())
+    return fd_white_to_td(h_w)
+
+
+def test_imr_merger_position_and_chirp():
+    """Projected IMR BBH: whitened TD peak lands at the labeled merger time,
+    and the pre-merger instantaneous frequency increases (chirp)."""
+    td = _bbh_event_td()
+    peak = int(jnp.argmax(jnp.abs(td[0])))
+    expect = int((0.5 + C.DURATION / 2) * C.SAMPLE_RATE)
+    assert abs(peak - expect) < 0.05 * C.SAMPLE_RATE, (peak, expect)
+
+    # chirp: zero-crossing spacing shrinks approaching the merger
+    seg_early = np.asarray(td[0][expect - 4096:expect - 3072])
+    seg_late = np.asarray(td[0][expect - 1024:expect - 64])
+    zc_early = np.sum(np.abs(np.diff(np.sign(seg_early))) > 0)
+    zc_late = np.sum(np.abs(np.diff(np.sign(seg_late))) > 0)
+    assert zc_late / len(seg_late) > zc_early / len(seg_early)
+
+
+def test_imr_continuous_at_stitch():
+    """Amplitude is C⁰ at the inspiral->MR transition."""
+    hp, _ = jax.jit(lambda: imr_polarizations(
+        FREQS, 36.0, 29.0, 0.3, -0.2, 400.0, 0.5, 1.0))()
+    a = np.abs(np.asarray(hp))
+    band = (C.FREQS > 30) & (C.FREQS < 900)
+    ab = a[band]
+    rel_jump = np.abs(np.diff(ab)) / np.maximum(ab[:-1], 1e-30)
+    assert rel_jump.max() < 0.05, rel_jump.max()
+
+
+# ── simulator ─────────────────────────────────────────────────────────────────
+
+@jax.jit
+def _sim16(k):
+    return simulate_batch(k, 16, SimConfig())
+
+
+def test_simulate_batch_shapes_and_gate():
+    cfg = SimConfig()
+    batch = _sim16(jax.random.PRNGKey(0))
+    assert batch.strain.shape == (16, 3, C.N_SAMPLES)
+    assert batch.params.shape == (16, cfg.max_signals, 11)
+    assert np.isfinite(np.asarray(batch.strain)).all()
+    n = np.asarray(batch.n_sig)
+    assert ((n >= 0) & (n <= cfg.max_signals)).all()
+    # SNR gate: every surviving event has net_snr >= min_snr (approximately —
+    # net SNR of the SUM can differ slightly from per-signal gating)
+    snr = np.asarray(batch.net_snr)
+    assert (snr[n > 0] > 0.75 * cfg.min_snr).all()
+
+
+def test_simulate_event_strain_statistics():
+    """Noise-dominated whitened strain should be ~unit variance."""
+    batch = _sim16(jax.random.PRNGKey(4))
+    std = np.asarray(jnp.std(batch.strain, axis=(-2, -1)))
+    assert (std > 0.9).all() and (std < 2.0).all(), std
+
+
+def test_simulate_ranked_by_loudness():
+    from posteriflow_tpu.prior import loudness
+    batch = jax.jit(lambda k: simulate_batch(k, 64, SimConfig()))(
+        jax.random.PRNGKey(5))
+    p = np.asarray(batch.params)
+    n = np.asarray(batch.n_sig)
+    for i in range(64):
+        if n[i] >= 2:
+            l = np.asarray(loudness(p[i, :n[i], 0], p[i, :n[i], 1],
+                                    p[i, :n[i], 2]))
+            assert (np.diff(l) <= 1e-6).all(), (i, l)
