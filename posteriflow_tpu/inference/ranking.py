@@ -1,0 +1,57 @@
+"""Order per-rank posteriors into an extraction sequence.
+
+Reference semantics (src/ahsd/inference/ranking.py): per-rank posterior
+medians -> SNR proxy + 0.5 s whitened strain segments around each inferred
+merger -> PriorityNet scores (or the proxy fallback) -> candidate order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from posteriflow_tpu.models.priority_net import (SEG_LEN, PriorityNet,
+                                                 loudness_fallback,
+                                                 physics_features,
+                                                 rank_by_score)
+from posteriflow_tpu.physics.constants import DURATION, SAMPLE_RATE
+
+
+def extract_segments(strain: np.ndarray, t_offs: np.ndarray) -> np.ndarray:
+    """[3, T] whitened strain + per-candidate merger offsets [n] ->
+    [n, 3, SEG_LEN] segments centered on each inferred merger
+    (reference: ranking.py:60-74)."""
+    t = strain.shape[-1]
+    centers = ((np.asarray(t_offs) + DURATION / 2) * SAMPLE_RATE).astype(int)
+    half = SEG_LEN // 2
+    out = np.zeros((len(centers), strain.shape[0], SEG_LEN),
+                   dtype=np.float32)
+    for i, c in enumerate(centers):
+        lo = np.clip(c - half, 0, t - SEG_LEN)
+        out[i] = strain[:, lo:lo + SEG_LEN]
+    return out
+
+
+def rank_overlapping(results: List, strain: np.ndarray,
+                     priority_params=None,
+                     priority_model: Optional[PriorityNet] = None):
+    """results: per-rank PosteriorResults; strain: [3, T] whitened.
+
+    Returns (order, scores): order[i] = index into `results` of the i-th
+    highest-priority candidate."""
+    medians = np.stack([r.median() for r in results])        # [n, 11]
+    segs = extract_segments(strain, medians[:, 8])
+    mask = jnp.ones((1, len(results)))
+
+    if priority_model is not None and priority_params is not None:
+        scores, _sigma = priority_model.apply(
+            priority_params, jnp.asarray(segs)[None],
+            jnp.asarray(medians)[None], mask)
+        scores = np.asarray(scores[0])
+    else:
+        scores = np.asarray(loudness_fallback(jnp.asarray(medians)))
+
+    order = np.argsort(-scores)
+    return order.tolist(), scores.tolist()

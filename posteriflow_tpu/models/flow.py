@@ -31,7 +31,9 @@ import numpy as np
 
 from posteriflow_tpu.ops.rqs import rqs_forward, rqs_inverse
 
-_SOFTPLUS_INV_1 = 0.5413248546129181   # softplus(x) = 1 - min_derivative
+# derivative-channel init bias: min_derivative + softplus(b) = 1 exactly,
+# i.e. b = log(expm1(1 - min_derivative)) with ops/rqs.py's 1e-3 minimum
+_DERIV_BIAS = float(np.log(np.expm1(1.0 - 1e-3)))
 
 
 def _make_permutations(features: int, num_layers: int,
@@ -45,9 +47,15 @@ def _make_permutations(features: int, num_layers: int,
 
 
 class Conditioner(nn.Module):
-    """MLP (identity half ∥ context) -> raw RQS params for the transform
-    half. Zero-init output with derivative bias at softplus⁻¹(1) so every
-    layer starts as the identity map."""
+    """MLP (identity half + context) -> raw RQS params for the transform
+    half. Zero-init output with a derivative bias solving softplus(b) =
+    1 − min_derivative, so every layer starts as the identity map.
+
+    The context enters through its OWN first-layer projection, broadcast-
+    added to the x projection. For sampling, callers pass context with a
+    broadcast dim ([B, 1, C] against x [B, n, D]) and the context matmul
+    runs once per event instead of once per draw — the flow's per-draw cost
+    is then independent of context width."""
     n_transform: int
     num_bins: int
     hidden: int = 256
@@ -55,17 +63,18 @@ class Conditioner(nn.Module):
 
     @nn.compact
     def __call__(self, x_id: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        h = jnp.concatenate([x_id, context], axis=-1)
-        for _ in range(self.n_hidden_layers):
-            h = nn.gelu(nn.Dense(self.hidden)(h))
+        h = nn.gelu(nn.Dense(self.hidden, name="in_x")(x_id)
+                    + nn.Dense(self.hidden, name="in_ctx")(context))
+        for i in range(self.n_hidden_layers - 1):
+            h = nn.gelu(nn.Dense(self.hidden, name=f"mid_{i}")(h))
         n_raw = 3 * self.num_bins - 1
         out = nn.Dense(self.n_transform * n_raw,
                        kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros)(h)
+                       bias_init=nn.initializers.zeros, name="out")(h)
         out = out.reshape(*out.shape[:-1], self.n_transform, n_raw)
         # identity-at-init: uniform bins (zeros) + unit derivatives
         deriv_bias = jnp.zeros((n_raw,)).at[2 * self.num_bins:].set(
-            _SOFTPLUS_INV_1)
+            _DERIV_BIAS)
         return out + deriv_bias
 
 

@@ -46,6 +46,7 @@ class NPEConfig:
     premerger: bool = False
     d_model: int = 192
     enc_layers: int = 3
+    enc_heads: int = 6
 
     @property
     def n_params(self) -> int:
@@ -63,7 +64,7 @@ class LeanNPE(nn.Module):
     def setup(self):
         c = self.cfg
         enc_kw = dict(context_dim=c.context_dim, d_model=c.d_model,
-                      n_layers=c.enc_layers,
+                      n_layers=c.enc_layers, n_heads=c.enc_heads,
                       psd_bands=c.psd_bands if c.uses_asd_bands else 0)
         if c.encoder_type == "coherent":
             self.encoder = CoherentEncoder(**enc_kw)
@@ -109,9 +110,9 @@ class LeanNPE(nn.Module):
         ctx = self.full_context(context, rank)               # [B, C+R]
         b = ctx.shape[0]
         z = jax.random.normal(key, (b, n_samples, self.cfg.n_params))
-        ctx_rep = jnp.broadcast_to(ctx[:, None, :],
-                                   (b, n_samples, ctx.shape[-1]))
-        y, log_q = self.flow.sample_with_log_prob(z, ctx_rep)
+        # ctx keeps a broadcast dim: the flow's context projection then runs
+        # once per event, not once per draw (see Conditioner docstring)
+        y, log_q = self.flow.sample_with_log_prob(z, ctx[:, None, :])
         y = self.scaler.wrap(y)
         return self.scaler.denormalize(y), y, log_q
 

@@ -1,0 +1,142 @@
+"""PriorityNet: learned extraction-order scorer for overlapping candidates.
+
+Reference component (src/ahsd/core/priority_net.py, 1207 LoC): temporal
+CNN+BiLSTM strain branch, vectorized pairwise cross-signal features,
+physics feature extractor, attention fusion, priority head + Softplus
+uncertainty head + affine output calibration; AdaptiveRankingLoss (pairwise
+margin) + weighted-MSE/uncertainty-calibration terms. Measured accuracy is
+weak (top-1 0.412, Kendall τ −0.175 — BASELINE.md), so the rebuild keeps
+the component compact and TPU-friendly:
+
+  - strain branch: strided conv stack (convs, not LSTM — recurrence
+    serializes on TPU; a small transformer over conv tokens gives the same
+    temporal context MXU-natively);
+  - physics branch: chirp mass, ratio, loudness, SNR proxy per candidate;
+  - cross-signal branch: self-attention over candidate tokens (replaces
+    the hand-built [n, n, 8] pairwise table with learned interactions);
+  - heads: priority score + Softplus uncertainty + affine calibration
+    (gain/bias) matching the reference's calibration hook.
+
+Loss: pairwise margin ranking + MSE + uncertainty NLL (AdaptiveRankingLoss
+semantics, priority_net.py:358-538).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+SEG_LEN = 2048          # 0.5 s strain segment around each candidate merger
+                        # (reference: inference/ranking.py:60-74)
+
+
+def physics_features(params: jnp.ndarray) -> jnp.ndarray:
+    """[..., 11] physical params -> [..., 8] scale-stable features."""
+    m1, m2, d = params[..., 0], params[..., 1], params[..., 2]
+    m1 = jnp.maximum(m1, 1.0)
+    m2 = jnp.maximum(m2, 1.0)
+    d = jnp.maximum(d, 1.0)
+    mc = (m1 * m2) ** 0.6 / (m1 + m2) ** 0.2
+    q = m2 / m1
+    loud = mc ** (5.0 / 6.0) / d
+    # SNR proxy (reference: ranking.py:60-74): 25·(Mc^(5/6)/15.9)·(400/d)
+    snr_proxy = 25.0 * (mc ** (5.0 / 6.0) / 15.9) * (400.0 / d)
+    return jnp.stack([jnp.log(mc), q, jnp.log(d), jnp.log1p(loud * 1e3),
+                      jnp.log1p(snr_proxy), params[..., 5],
+                      params[..., 8], params[..., 9] + params[..., 10]],
+                     axis=-1)
+
+
+class SegmentEncoder(nn.Module):
+    """[.., 3, SEG_LEN] whitened strain segment -> [.., width] embedding."""
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, seg):
+        h = jnp.swapaxes(seg, -1, -2)               # [.., T, 3]
+        for feat, k, s in ((16, 32, 4), (32, 16, 4), (64, 8, 4)):
+            h = nn.gelu(nn.Conv(feat, kernel_size=(k,), strides=(s,),
+                                padding="VALID")(h))
+        h = jnp.concatenate([h.mean(axis=-2), h.max(axis=-2)], axis=-1)
+        return nn.gelu(nn.Dense(self.width)(h))
+
+
+class PriorityNet(nn.Module):
+    d_model: int = 64
+    n_heads: int = 4
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, segments: jnp.ndarray, params: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None):
+        """segments [B, n, 3, SEG_LEN]; params [B, n, 11]; mask [B, n]
+        (1 = real candidate). Returns (priority [B, n], sigma [B, n])."""
+        b, n = params.shape[:2]
+        seg_feat = SegmentEncoder(self.d_model)(segments)     # [B, n, d]
+        phys = nn.gelu(nn.Dense(self.d_model)(physics_features(params)))
+        tok = seg_feat + phys
+
+        attn_mask = None
+        if mask is not None:
+            attn_mask = (mask[:, None, None, :] > 0) \
+                & (mask[:, None, :, None] > 0)
+        for _ in range(self.n_layers):
+            h = nn.LayerNorm()(tok)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads, qkv_features=self.d_model)(
+                h, h, mask=attn_mask)
+            tok = tok + h
+            h = nn.LayerNorm()(tok)
+            tok = tok + nn.Dense(self.d_model)(nn.gelu(
+                nn.Dense(2 * self.d_model)(h)))
+
+        score = nn.Dense(1, name="priority_head")(tok)[..., 0]
+        sigma = nn.softplus(nn.Dense(1, name="uncertainty_head")(tok)[..., 0]) \
+            + 1e-3
+        # affine output calibration (reference OutputCalibrator hook)
+        gain = self.param("cal_gain", nn.initializers.ones, ())
+        bias = self.param("cal_bias", nn.initializers.zeros, ())
+        score = gain * score + bias
+        if mask is not None:
+            score = jnp.where(mask > 0, score, -1e9)
+        return score, sigma
+
+
+def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
+                 sigma: jnp.ndarray, mask: jnp.ndarray,
+                 margin: float = 0.1) -> jnp.ndarray:
+    """Pairwise margin ranking + MSE + uncertainty calibration
+    (reference AdaptiveRankingLoss + PriorityLoss semantics,
+    priority_net.py:358-538), fully vectorized over candidate pairs."""
+    pair_mask = (mask[:, :, None] * mask[:, None, :])
+    dt = targets[:, :, None] - targets[:, None, :]         # target diffs
+    ds = scores[:, :, None] - scores[:, None, :]
+    want_higher = (dt > 0).astype(jnp.float32) * pair_mask
+    rank_term = jnp.sum(want_higher * jnp.maximum(0.0, margin - ds)) \
+        / jnp.maximum(jnp.sum(want_higher), 1.0)
+
+    mse = jnp.sum(mask * (scores - targets) ** 2) \
+        / jnp.maximum(jnp.sum(mask), 1.0)
+
+    # heteroscedastic NLL: sigma should track |error|
+    err2 = (scores - targets) ** 2
+    unc = jnp.sum(mask * (0.5 * err2 / sigma ** 2 + jnp.log(sigma))) \
+        / jnp.maximum(jnp.sum(mask), 1.0)
+
+    return rank_term + 0.5 * mse + 0.1 * unc
+
+
+def rank_by_score(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Descending-priority candidate order; masked slots last."""
+    return jnp.argsort(-jnp.where(mask > 0, scores, -jnp.inf), axis=-1)
+
+
+def loudness_fallback(params: jnp.ndarray) -> jnp.ndarray:
+    """SNR-proxy ranking when no trained PriorityNet is available
+    (reference fallback: priority_net.py:946; SURVEY.md §7 notes the
+    learned ranker is statistically replaceable by this proxy)."""
+    return physics_features(params)[..., 4]       # log1p(snr_proxy)

@@ -1,0 +1,131 @@
+"""The training loop: epochs of jitted simulate+train steps, per-epoch
+diagnostics, calibration-gated checkpoint selection, history.json.
+
+TPU-native restatement of the reference trainer main loop
+(experiments/train_lean_npe.py:343-431) plus the README-spec gated
+checkpointing the snapshot lacks (SURVEY.md §2.4):
+
+  - fixed deterministic validation batch (same key every epoch) so metrics
+    compare across epochs (reference: fixed Gaussian val, :258-260);
+  - per-epoch diagnostics: shuffle-ΔNLL, dist_corr, coverage (:130-178);
+  - per-epoch calibration gate: railing, base_conc, cov90[_highsnr], SBC;
+  - checkpoints: last + periodic epoch_XXXX + gated best (README spec);
+  - history.json updated every epoch (:428-429).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from posteriflow_tpu.physics.simulator import simulate_batch
+from posteriflow_tpu.train.checkpoints import CheckpointManager
+from posteriflow_tpu.train.diagnostics import make_diagnostics
+from posteriflow_tpu.train.gates import (CalibrationGate, evaluate_gate,
+                                         select_best)
+from posteriflow_tpu.train.trainer import (TrainConfig, init_state,
+                                           make_eval_nll, make_train_step)
+
+log = logging.getLogger("posteriflow.train")
+
+
+def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
+        steps_per_epoch: int = 200, seed: int = 0, mesh=None,
+        gate: CalibrationGate = CalibrationGate(), ckpt_every: int = 0,
+        n_val_events: int = 256, init_from: Optional[str] = None,
+        val_batch_fn: Optional[Callable] = None,
+        on_epoch_end: Optional[Callable[[dict], None]] = None):
+    """Train LeanNPE; returns (best_state, history).
+
+    val_batch_fn(key) -> EventBatch overrides the default Gaussian-domain
+    validation synthesis (hook for the real-noise validation domain)."""
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    ckpts = CheckpointManager(outdir / "ckpt")
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_val, k_diag, key = jax.random.split(key, 4)
+
+    state = init_state(k_init, cfg)
+    if init_from:
+        state, meta = CheckpointManager(Path(init_from).parent) \
+            .fine_tune_restore(Path(init_from).name, cfg)
+        log.info("fine-tuning from %s (epoch %s)", init_from,
+                 meta.get("epoch"))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log.info("LeanNPE parameters: %s", f"{n_params:,}")
+
+    step = make_train_step(cfg, mesh=mesh)
+    eval_nll = make_eval_nll(cfg)
+    diagnostics = make_diagnostics(cfg, n_events=n_val_events)
+
+    # fixed deterministic validation batch (Gaussian domain)
+    if val_batch_fn is None:
+        val_batch = simulate_batch(k_val, n_val_events, cfg.sim)
+    else:
+        val_batch = val_batch_fn(k_val)
+
+    history = []
+    best_epoch = -1
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        tr_losses, gnorms = [], []
+        for s in range(steps_per_epoch):
+            key, k_step = jax.random.split(key)
+            state, m = step(state, k_step)
+            tr_losses.append(m["nll"])
+            gnorms.append(m["grad_norm"])
+        train_nll = float(np.mean([float(x) for x in tr_losses]))
+        grad_norm = float(np.mean([float(x) for x in gnorms]))
+
+        val = float(eval_nll(state.params, val_batch))
+        diag = diagnostics(state.params, val_batch, k_diag)
+        diag_f = {k: float(v) for k, v in diag.items()
+                  if not hasattr(v, "shape") or v.ndim == 0}
+        cal = evaluate_gate(cfg, state.params, val_batch, k_diag, gate)
+
+        rec = {
+            "epoch": epoch, "train_nll": train_nll, "select_nll": val,
+            "val_nll": val, "grad_norm": grad_norm,
+            "lr_step": int(state.step),
+            "epoch_seconds": round(time.time() - t0, 1),
+            **diag_f,
+            "spurious_railing": cal["spurious_railing"],
+            "base_conc": cal["base_conc"],
+            "cov90_mean": cal["cov90_mean"],
+            "cov90_highsnr_mean": cal["cov90_highsnr_mean"],
+            "sbc_pass_frac": cal["sbc_pass_frac"],
+            "gate_passed": cal["gate_passed"],
+            "cov50_all": np.asarray(diag["cov50_all"]).round(3).tolist(),
+            "cov90_all": np.asarray(diag["cov90_all"]).round(3).tolist(),
+        }
+        history.append(rec)
+        log.info(
+            "epoch %3d | train %.3f | val %.3f | shufΔ %+.3f | dcorr %+.3f"
+            " | dcov50/90 %.2f/%.2f | rail %.3f | conc %.2f | gate %s | %ds",
+            epoch, train_nll, val, rec["shuffle_delta_nll"],
+            rec["dist_corr"], rec["dist_cov50"], rec["dist_cov90"],
+            rec["spurious_railing"], rec["base_conc"],
+            "PASS" if rec["gate_passed"] else "fail",
+            int(rec["epoch_seconds"]))
+
+        ckpts.save("last", state, cfg, rec, epoch)
+        if ckpt_every and epoch % ckpt_every == 0:
+            ckpts.save(f"epoch_{epoch:04d}", state, cfg, rec, epoch)
+        if select_best(history) == epoch:
+            best_epoch = epoch
+            ckpts.save("best", state, cfg, rec, epoch)
+
+        (outdir / "history.json").write_text(json.dumps(history, indent=2))
+        if on_epoch_end:
+            on_epoch_end(rec)
+
+    log.info("done. best epoch %d -> %s", best_epoch,
+             outdir / "ckpt" / "best")
+    return state, history

@@ -1,0 +1,138 @@
+"""The NPE trainer: one jitted step = simulate → encode → per-rank NLL →
+grads → AdamW, data-parallel over the mesh.
+
+TPU-first redesign of the reference trainer (experiments/train_lean_npe.py):
+the pickle/memmap/DataLoader machinery disappears because the batch is
+synthesized on-device inside the step (physics/simulator.py); everything
+else keeps the reference's training semantics:
+
+  - per-rank masked NLL: encoder once per event, flow once per present
+    rank, masked sum / count (train_lean_npe.py:108-127);
+  - AdamW wd 1e-5, linear warmup 500 steps then cosine to a 1% floor,
+    global-norm grad clip 5.0 (train_lean_npe.py:301-311, 366);
+  - fixed deterministic validation batches for comparable per-epoch
+    metrics (train_lean_npe.py:258-285).
+
+Sharding: the step jits with the TrainState replicated and the RNG key
+replicated; a sharding constraint on the simulated batch makes GSPMD
+partition simulation+forward+backward over the "data" axis and all-reduce
+gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from posteriflow_tpu.models.npe import LeanNPE, NPEConfig
+from posteriflow_tpu.parallel.mesh import shard_batch
+from posteriflow_tpu.physics.simulator import (EventBatch, SimConfig,
+                                               simulate_batch)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    npe: NPEConfig = NPEConfig()
+    sim: SimConfig = SimConfig()
+    batch_size: int = 128
+    lr: float = 3e-4
+    weight_decay: float = 1e-5
+    warmup_steps: int = 500
+    total_steps: int = 20_000
+    grad_clip: float = 5.0
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.lr, warmup_steps=cfg.warmup_steps,
+        decay_steps=cfg.total_steps, end_value=0.01 * cfg.lr)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, weight_decay=cfg.weight_decay),
+    )
+
+
+def init_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
+    model = LeanNPE(cfg.npe)
+    s = cfg.sim
+    dummy_strain = jnp.zeros((2, 3, 16384))
+    dummy_theta = jnp.ones((2, cfg.npe.n_params)) * 0.5
+    dummy_theta = dummy_theta.at[:, 0].set(30.0).at[:, 1].set(25.0) \
+        .at[:, 2].set(500.0)
+    dummy_rank = jnp.zeros((2,), dtype=jnp.int32)
+    dummy_asd = (jnp.zeros((2, 3, s.psd_bands))
+                 if cfg.npe.uses_asd_bands else None)
+    params = model.init(key, dummy_strain, dummy_theta, dummy_rank,
+                        dummy_asd)
+    return TrainState.create(apply_fn=model.apply, params=params,
+                             tx=make_optimizer(cfg))
+
+
+def batch_nll(model: LeanNPE, params, batch: EventBatch) -> jnp.ndarray:
+    """Mean per-signal NLL over a batch of events (reference masking
+    semantics: train_lean_npe.py:108-127). Encoder once per event; the flow
+    evaluates every (event, rank) slot with dead slots masked out."""
+    cfg = model.cfg
+    asd = batch.asd_bands if cfg.uses_asd_bands else None
+    context = model.apply(params, batch.strain, asd, method=LeanNPE.encode)
+
+    s = batch.params.shape[1]                      # MAX_SIGNALS
+
+    def rank_nll(r):
+        rank = jnp.full((batch.strain.shape[0],), r, dtype=jnp.int32)
+        return model.apply(params, context, batch.params[:, r, :], rank,
+                           method=LeanNPE.nll_from_context)     # [B]
+
+    nll_all = jnp.stack([rank_nll(r) for r in range(s)], axis=1)  # [B, S]
+    mask = (jnp.arange(s)[None, :] < batch.n_sig[:, None]).astype(jnp.float32)
+    total = jnp.sum(nll_all * mask)
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    return total / count
+
+
+def make_train_step(cfg: TrainConfig, mesh=None):
+    """Returns step(state, key) -> (state, metrics). Jittable; donates the
+    state. Pass a Mesh to constrain the simulated batch onto the "data"
+    axis (GSPMD then shards simulation + fwd/bwd and inserts the gradient
+    all-reduce)."""
+    model = LeanNPE(cfg.npe)
+
+    def loss_fn(params, batch):
+        return batch_nll(model, params, batch)
+
+    def step(state: TrainState, key: jax.Array):
+        k_sim, _ = jax.random.split(key)
+        batch = simulate_batch(k_sim, cfg.batch_size, cfg.sim)
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"nll": loss, "grad_norm": gnorm,
+                   "mean_nsig": jnp.mean(batch.n_sig.astype(jnp.float32)),
+                   "mean_snr": jnp.mean(batch.net_snr)}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_nll(cfg: TrainConfig):
+    """Jitted fixed-batch validation NLL (reference: per-epoch Gaussian val,
+    train_lean_npe.py:377-385)."""
+    model = LeanNPE(cfg.npe)
+
+    @jax.jit
+    def eval_nll(params, batch: EventBatch):
+        return batch_nll(model, params, batch)
+
+    return eval_nll

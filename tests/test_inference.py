@@ -1,0 +1,169 @@
+"""End-to-end inference-stack tests: checkpoint -> engine -> infer() ->
+PosteriorResult, plus OOD / gate / ranking / importance machinery
+(reference analogs: pipeline.py, ood.py, gating.py, ranking.py,
+importance.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posteriflow_tpu import PARAM_NAMES
+from posteriflow_tpu.inference import (ContextStats, PosteriorResult,
+                                       confidence_verdict,
+                                       fit_context_stats, importance_correct,
+                                       infer, infer_overlapping,
+                                       make_log_likelihood, prepare_simulated,
+                                       rank_overlapping, refinement_gate,
+                                       score_context)
+from posteriflow_tpu.inference.pipeline import InferenceEngine
+from posteriflow_tpu.models.npe import NPEConfig
+from posteriflow_tpu.models.priority_net import (PriorityNet, ranking_loss,
+                                                 rank_by_score)
+from posteriflow_tpu.physics.simulator import SimConfig
+from posteriflow_tpu.prior import PriorConfig
+from posteriflow_tpu.train.checkpoints import CheckpointManager
+from posteriflow_tpu.train.trainer import TrainConfig, init_state
+
+TINY = TrainConfig(
+    npe=NPEConfig(context_dim=32, rank_dim=8, flow_layers=2, flow_hidden=32,
+                  flow_bins=4, encoder_type="conv", d_model=32,
+                  enc_layers=1, enc_heads=4),
+    sim=SimConfig(prior=PriorConfig(max_signals=2)),
+    batch_size=8, warmup_steps=5, total_steps=50)
+
+BBH = {"mass_1": 36.0, "mass_2": 29.0, "luminosity_distance": 400.0,
+       "ra": 1.0, "dec": -0.5, "theta_jn": 0.5, "psi": 0.3, "phase": 1.0,
+       "geocent_time": 0.2, "a1": 0.1, "a2": 0.05}
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    state = init_state(jax.random.PRNGKey(0), TINY)
+    cm = CheckpointManager(root)
+    cm.save("best", state, TINY, {"val_nll": 0.0}, epoch=1)
+    return InferenceEngine.from_checkpoint(root, "best")
+
+
+def test_prepare_simulated_truth_roundtrip():
+    prep = prepare_simulated([BBH], seed=1)
+    assert prep.strain.shape == (3, 16384)
+    assert prep.truth.shape == (1, 11)
+    np.testing.assert_allclose(prep.truth[0][:3],
+                               [36.0, 29.0, 400.0], rtol=1e-5)
+    assert 0.8 < np.std(prep.strain) < 2.5
+
+
+def test_infer_end_to_end(engine):
+    res = infer(engine, inject=[BBH], n_samples=256, seed=0)
+    assert res.samples.shape == (256, 11)
+    assert np.isfinite(res.samples).all()
+    assert np.isfinite(res.log_prob).all()
+    # m1 >= m2 enforced
+    assert (res.samples[:, 0] >= res.samples[:, 1] - 1e-5).all()
+    # samples respect physical bounds (scaler wrap/denorm)
+    assert (res.samples[:, 2] >= 40.0).all()          # distance
+    assert res.verdict in ("HIGH", "MEDIUM", "LOW")
+    assert "refine" in res.gate
+    assert res.diagnostics["draws_per_sec"] > 0
+    s = res.summary()
+    assert "mass_1" in s and "rank=0" in s
+
+
+def test_infer_overlapping_and_ranking(engine):
+    two = [BBH, {**BBH, "mass_1": 50.0, "mass_2": 45.0,
+                 "luminosity_distance": 900.0, "geocent_time": -0.4}]
+    prep = prepare_simulated(two, seed=2)
+    results = infer_overlapping(engine, data=prep, n_signals=2,
+                                n_samples=128)
+    assert len(results) == 2
+    assert results[0].rank == 0 and results[1].rank == 1
+    order, scores = rank_overlapping(results, prep.strain)
+    assert sorted(order) == [0, 1]
+    assert len(scores) == 2
+
+
+def test_result_summaries_and_save(tmp_path, engine):
+    res = infer(engine, inject=[BBH], n_samples=128, seed=3)
+    med = res.median()
+    ci = res.credible_interval(0.9)
+    assert med.shape == (11,)
+    assert (ci[:, 0] <= ci[:, 1] + 1e-9).all()
+    assert np.isfinite(res.covariance()).all()
+    corr = res.correlation()
+    np.testing.assert_allclose(np.diag(corr), 1.0, atol=1e-5)
+    out = res.save(tmp_path / "r")
+    assert (out / "samples.npy").exists()
+    assert (out / "result.json").exists()
+    assert (out / "summary.csv").exists()
+    rw, ess = res.reweight_to_uniform_masses()
+    assert 1.0 <= ess <= len(res.samples)
+
+
+def test_ood_scoring():
+    rng = np.random.default_rng(0)
+    ctx = rng.standard_normal((500, 16))
+    stats = fit_context_stats(ctx)
+    d_in, pct_in = score_context(stats, rng.standard_normal(16))
+    d_out, pct_out = score_context(stats, 10.0 * np.ones(16))
+    assert pct_out[0] > pct_in[0]
+    assert pct_out[0] >= 99.0
+    assert confidence_verdict(50.0, 0.0, []) == "HIGH"
+    assert confidence_verdict(99.5, 0.25, ["glitch"]) == "LOW"
+
+
+def test_refinement_gate_logic():
+    rng = np.random.default_rng(1)
+    samples = np.column_stack([
+        rng.uniform(30, 40, 500), rng.uniform(25, 30, 500),
+        rng.uniform(300, 500, 500)] + [rng.uniform(0, 1, 500)
+                                       for _ in range(8)])
+    ok = refinement_gate("HIGH", 50.0, 0.0, samples)
+    assert not ok["refine"]
+    bad = refinement_gate("LOW", 100.0, 0.5, samples)
+    assert bad["refine"] and len(bad["reasons"]) >= 2
+
+
+def test_importance_correction_on_injection(engine):
+    prep = prepare_simulated([BBH], seed=4)
+    res = infer(engine, data=prep, n_samples=256, seed=4)
+    ctx = engine.encode(jnp.asarray(prep.strain)[None],
+                        jnp.asarray(prep.asd_bands)[None])
+    log_l = make_log_likelihood(prep.strain)
+    out = importance_correct(engine, ctx[0], 0, res.samples, res.log_prob,
+                             res.railed, log_l, max_stages=2)
+    assert out.samples.shape[1] == 11
+    assert np.isfinite(out.weights).all()
+    assert 0.0 < out.ess <= len(out.samples)
+    assert abs(out.weights.sum() - 1.0) < 1e-6
+
+
+def test_likelihood_peaks_at_truth():
+    """The Whittle likelihood must prefer the injected parameters over a
+    wrong-mass alternative (noise-free injection)."""
+    prep = prepare_simulated([BBH], seed=5, add_noise=False)
+    log_l = make_log_likelihood(prep.strain)
+    truth = np.array([[BBH[k] for k in PARAM_NAMES]], dtype=np.float32)
+    wrong = truth.copy()
+    wrong[0, 0], wrong[0, 1] = 80.0, 10.0
+    ll = np.asarray(log_l(jnp.asarray(np.vstack([truth, wrong]))))
+    assert ll[0] > ll[1] + 10.0, ll
+    assert ll[0] > 0.0          # matched template beats noise-only model
+
+
+def test_priority_net_shapes_and_loss():
+    net = PriorityNet(d_model=32, n_heads=4, n_layers=1)
+    segs = jnp.zeros((2, 3, 3, 2048))
+    params = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, 3, 11))) \
+        + 1.0
+    mask = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
+    variables = net.init(jax.random.PRNGKey(1), segs, params, mask)
+    scores, sigma = net.apply(variables, segs, params, mask)
+    assert scores.shape == (2, 3) and sigma.shape == (2, 3)
+    assert float(scores[0, 2]) < -1e8          # masked slot suppressed
+    targets = jnp.asarray([[1.0, 0.5, 0.0], [0.2, 0.9, 0.4]])
+    loss = ranking_loss(scores, targets, sigma, mask)
+    assert np.isfinite(float(loss))
+    order = rank_by_score(scores, mask)
+    assert order.shape == (2, 3)
