@@ -60,17 +60,22 @@ class Conditioner(nn.Module):
     num_bins: int
     hidden: int = 256
     n_hidden_layers: int = 2
+    compute_dtype: jnp.dtype = jnp.bfloat16   # matmul dtype; params stay f32
 
     @nn.compact
     def __call__(self, x_id: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        h = nn.gelu(nn.Dense(self.hidden, name="in_x")(x_id)
-                    + nn.Dense(self.hidden, name="in_ctx")(context))
+        dt = self.compute_dtype
+        h = nn.gelu(nn.Dense(self.hidden, name="in_x", dtype=dt)(x_id)
+                    + nn.Dense(self.hidden, name="in_ctx", dtype=dt)(context))
         for i in range(self.n_hidden_layers - 1):
-            h = nn.gelu(nn.Dense(self.hidden, name=f"mid_{i}")(h))
+            h = nn.gelu(nn.Dense(self.hidden, name=f"mid_{i}", dtype=dt)(h))
         n_raw = 3 * self.num_bins - 1
+        # final projection accumulates in f32: raw spline params feed the
+        # f32 RQS solve (SURVEY.md hard-part (b): spline numerics stay f32)
         out = nn.Dense(self.n_transform * n_raw,
                        kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros, name="out")(h)
+                       bias_init=nn.initializers.zeros, name="out",
+                       dtype=jnp.float32)(h.astype(jnp.float32))
         out = out.reshape(*out.shape[:-1], self.n_transform, n_raw)
         # identity-at-init: uniform bins (zeros) + unit derivatives
         deriv_bias = jnp.zeros((n_raw,)).at[2 * self.num_bins:].set(
@@ -90,6 +95,7 @@ class CouplingNSF(nn.Module):
     hidden: int = 256
     num_bins: int = 16
     tail_bound: float = 5.0
+    compute_dtype: str = "bfloat16"    # conditioner matmul dtype
 
     def setup(self):
         perms = _make_permutations(self.features, self.num_layers)
@@ -100,6 +106,7 @@ class CouplingNSF(nn.Module):
         self.conditioners = [
             Conditioner(n_transform=self.features - n_id,
                         num_bins=self.num_bins, hidden=self.hidden,
+                        compute_dtype=jnp.dtype(self.compute_dtype),
                         name=f"cond_{i}")
             for i in range(self.num_layers)
         ]

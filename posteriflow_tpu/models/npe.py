@@ -47,6 +47,7 @@ class NPEConfig:
     d_model: int = 192
     enc_layers: int = 3
     enc_heads: int = 6
+    flow_dtype: str = "bfloat16"     # conditioner matmul dtype (RQS is f32)
 
     @property
     def n_params(self) -> int:
@@ -75,7 +76,8 @@ class LeanNPE(nn.Module):
             features=c.n_params,
             context_features=c.context_dim + c.rank_dim,
             num_layers=c.flow_layers, hidden=c.flow_hidden,
-            num_bins=c.flow_bins, tail_bound=c.tail_bound)
+            num_bins=c.flow_bins, tail_bound=c.tail_bound,
+            compute_dtype=c.flow_dtype)
         self.scaler = ParamScaler(c.param_names, premerger=c.premerger)
 
     def encode(self, strain: jnp.ndarray,

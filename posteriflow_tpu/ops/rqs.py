@@ -75,8 +75,14 @@ def _searchsorted(knots: jnp.ndarray, x: jnp.ndarray,
 
 
 def _gather_bin(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """a [..., K+1], idx [...] -> a[..., idx] elementwise."""
-    return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    """a [..., K+1], idx [...] -> a[..., idx] elementwise.
+
+    One-hot contraction instead of take_along_axis: TPU lowers dynamic
+    gathers poorly, while a K+1-wide masked sum is a handful of fused VPU
+    ops."""
+    k = a.shape[-1]
+    onehot = (idx[..., None] == jnp.arange(k)).astype(a.dtype)
+    return jnp.sum(a * onehot, axis=-1)
 
 
 def rqs_forward(x: jnp.ndarray, raw_params: jnp.ndarray, num_bins: int,

@@ -55,6 +55,9 @@ class SimConfig:
     psd_bands: int = 16
     f_lower: float = F_LOWER
     add_noise: bool = True
+    # probability an event uses a real-noise crop (needs a NoiseBank passed
+    # to simulate_batch; reference: remix_data.py real_noise_prob)
+    real_noise_prob: float = 0.0
 
     @property
     def max_signals(self) -> int:
@@ -116,12 +119,16 @@ def _rank_and_gate(params, h_w, n_sig, min_snr):
 
 
 def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
-                   asd: jax.Array, cfg: SimConfig):
+                   asd: jax.Array, cfg: SimConfig, bank=None):
     """Assemble one whitened 3-detector training event.
 
-    params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Returns an
-    EventBatch with no leading batch dim."""
-    k_noise, k_drop, k_cfg, k_fill = jax.random.split(key, 4)
+    params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Optional
+    `bank` (data.noise_bank.NoiseBank) enables real-noise mixing with
+    probability cfg.real_noise_prob: the event's noise becomes a real
+    crop, its signals are re-colored into that segment's whitening, and
+    asd_bands reports the sensitivity summary (remix_data.py semantics).
+    Returns an EventBatch with no leading batch dim."""
+    k_noise, k_drop, k_cfg, k_fill, k_real, k_use = jax.random.split(key, 6)
 
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
     params, h_w, _snr, n_valid = _rank_and_gate(params, h_w, n_sig,
@@ -136,25 +143,42 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
                                                 _KEEP_CONFIGS.shape[0])]
     det_mask = jnp.where(drop, keep_cfg, jnp.ones(N_DETECTORS))
 
-    # network SNR over KEPT detectors only (dropped signal is gone)
+    # network SNR over KEPT detectors only (dropped signal is gone).
+    # Measured on the DESIGN-whitened signal (re-coloring changes the
+    # per-segment SNR only through sensitivity, which asd_bands reports).
     net_snr = jnp.sqrt(jnp.sum(det_mask * jnp.sum(sig_td ** 2, axis=-1)))
 
     noise = jax.random.normal(k_noise, (N_DETECTORS, N_SAMPLES))
     fill = jax.random.normal(k_fill, (N_DETECTORS, N_SAMPLES))
+    asd_bands = jnp.zeros((N_DETECTORS, cfg.psd_bands), dtype=jnp.float32)
+
+    if bank is not None and cfg.real_noise_prob > 0.0:
+        from posteriflow_tpu.data.noise_bank import (recolor_signal,
+                                                     sample_real_noise)
+        use_real = jax.random.uniform(k_use) < cfg.real_noise_prob
+        k_r1, k_r2 = jax.random.split(k_real)
+        r_noise, r_filt, r_bands = sample_real_noise(k_r1, bank)
+        r_fill, _, _ = sample_real_noise(k_r2, bank)   # dropout fill crop
+        sig_recolored = recolor_signal(sig_td, r_filt)
+        noise = jnp.where(use_real, r_noise, noise)
+        fill = jnp.where(use_real, r_fill, fill)
+        sig_td = jnp.where(use_real, sig_recolored, sig_td)
+        asd_bands = jnp.where(use_real, r_bands, asd_bands)
+
     if cfg.add_noise:
         strain = jnp.where(det_mask[:, None] > 0,
                            noise + sig_td, fill)
     else:
         strain = sig_td * det_mask[:, None]
 
-    asd_bands = jnp.zeros((N_DETECTORS, cfg.psd_bands), dtype=jnp.float32)
+    asd_bands = asd_bands * det_mask[:, None]      # dropped dets report 0
     return EventBatch(strain.astype(jnp.float32), params, n_valid,
                       net_snr.astype(jnp.float32), asd_bands, det_mask)
 
 
 def simulate_batch(key: jax.Array, batch_size: int,
                    cfg: SimConfig = SimConfig(),
-                   asd: jax.Array | None = None) -> EventBatch:
+                   asd: jax.Array | None = None, bank=None) -> EventBatch:
     """Synthesize a fresh training batch on-device. Fully jittable; the
     training step calls this inside jit so data generation fuses with the
     forward/backward pass (SURVEY.md §7 design stance)."""
@@ -163,5 +187,6 @@ def simulate_batch(key: jax.Array, batch_size: int,
     k_prior, k_sim = jax.random.split(key)
     params, n_sig = sample_batch(k_prior, batch_size, cfg.prior)
     keys = jax.random.split(k_sim, batch_size)
-    return jax.vmap(lambda k, p, n: simulate_event(k, p, n, asd, cfg))(
+    return jax.vmap(lambda k, p, n: simulate_event(k, p, n, asd, cfg,
+                                                   bank))(
         keys, params, n_sig)

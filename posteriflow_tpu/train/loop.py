@@ -39,12 +39,16 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         steps_per_epoch: int = 200, seed: int = 0, mesh=None,
         gate: CalibrationGate = CalibrationGate(), ckpt_every: int = 0,
         n_val_events: int = 256, init_from: Optional[str] = None,
-        val_batch_fn: Optional[Callable] = None,
+        val_batch_fn: Optional[Callable] = None, bank=None,
         on_epoch_end: Optional[Callable[[dict], None]] = None):
     """Train LeanNPE; returns (best_state, history).
 
     val_batch_fn(key) -> EventBatch overrides the default Gaussian-domain
-    validation synthesis (hook for the real-noise validation domain)."""
+    validation synthesis. Passing a NoiseBank enables real-noise training
+    mixing (cfg.sim.real_noise_prob) AND a fixed deterministic real-noise
+    validation domain; the selection metric then averages the Gaussian and
+    real-noise val NLL (reference: train_lean_npe.py:417-421 — deployment
+    robustness without losing simulated-domain performance)."""
     from posteriflow_tpu.utils.logging import quiet_dependency_logs
     quiet_dependency_logs()
     outdir = Path(outdir)
@@ -63,15 +67,26 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info("LeanNPE parameters: %s", f"{n_params:,}")
 
-    step = make_train_step(cfg, mesh=mesh)
+    step = make_train_step(cfg, mesh=mesh, with_bank=bank is not None)
     eval_nll = make_eval_nll(cfg)
     diagnostics = make_diagnostics(cfg, n_events=n_val_events)
 
     # fixed deterministic validation batch (Gaussian domain)
+    sim_fn = jax.jit(lambda k: simulate_batch(k, n_val_events, cfg.sim))
     if val_batch_fn is None:
-        val_batch = simulate_batch(k_val, n_val_events, cfg.sim)
+        val_batch = sim_fn(k_val)
     else:
         val_batch = val_batch_fn(k_val)
+
+    # fixed real-noise validation domain (reference: materialized once,
+    # train_lean_npe.py:262-285)
+    val_real = None
+    if bank is not None:
+        import dataclasses as _dc
+        real_cfg = _dc.replace(cfg.sim, real_noise_prob=1.0)
+        val_real = jax.jit(lambda k: simulate_batch(
+            k, n_val_events, real_cfg, bank=bank))(
+            jax.random.fold_in(k_val, 1))
 
     history = []
     best_epoch = -1
@@ -80,7 +95,10 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         tr_losses, gnorms = [], []
         for s in range(steps_per_epoch):
             key, k_step = jax.random.split(key)
-            state, m = step(state, k_step)
+            if bank is not None:
+                state, m = step(state, k_step, bank)
+            else:
+                state, m = step(state, k_step)
             tr_losses.append(m["nll"])
             gnorms.append(m["grad_norm"])
         train_nll = float(np.mean([float(x) for x in tr_losses]))
@@ -92,9 +110,19 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
                   if not hasattr(v, "shape") or v.ndim == 0}
         cal = evaluate_gate(cfg, state.params, val_batch, k_diag, gate)
 
+        real_metrics = {}
+        select = val
+        if val_real is not None:
+            real_nll = float(eval_nll(state.params, val_real))
+            dr = diagnostics(state.params, val_real, k_diag)
+            real_metrics = {"real_val_nll": real_nll,
+                            **{f"real_{k}": float(v) for k, v in dr.items()
+                               if not hasattr(v, "shape") or v.ndim == 0}}
+            select = 0.5 * (val + real_nll)
+
         rec = {
-            "epoch": epoch, "train_nll": train_nll, "select_nll": val,
-            "val_nll": val, "grad_norm": grad_norm,
+            "epoch": epoch, "train_nll": train_nll, "select_nll": select,
+            "val_nll": val, **real_metrics, "grad_norm": grad_norm,
             "lr_step": int(state.step),
             "epoch_seconds": round(time.time() - t0, 1),
             **diag_f,

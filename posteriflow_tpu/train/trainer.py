@@ -100,19 +100,20 @@ def batch_nll(model: LeanNPE, params, batch: EventBatch) -> jnp.ndarray:
     return total / count
 
 
-def make_train_step(cfg: TrainConfig, mesh=None):
-    """Returns step(state, key) -> (state, metrics). Jittable; donates the
-    state. Pass a Mesh to constrain the simulated batch onto the "data"
-    axis (GSPMD then shards simulation + fwd/bwd and inserts the gradient
-    all-reduce)."""
+def make_train_step(cfg: TrainConfig, mesh=None, with_bank: bool = False):
+    """Returns step(state, key[, bank]) -> (state, metrics). Jittable;
+    donates the state. Pass a Mesh to constrain the simulated batch onto
+    the "data" axis (GSPMD then shards simulation + fwd/bwd and inserts the
+    gradient all-reduce). with_bank=True adds a NoiseBank argument for
+    real-noise mixing (cfg.sim.real_noise_prob)."""
     model = LeanNPE(cfg.npe)
 
     def loss_fn(params, batch):
         return batch_nll(model, params, batch)
 
-    def step(state: TrainState, key: jax.Array):
+    def step_impl(state: TrainState, key: jax.Array, bank=None):
         k_sim, _ = jax.random.split(key)
-        batch = simulate_batch(k_sim, cfg.batch_size, cfg.sim)
+        batch = simulate_batch(k_sim, cfg.batch_size, cfg.sim, bank=bank)
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
@@ -123,7 +124,9 @@ def make_train_step(cfg: TrainConfig, mesh=None):
                    "mean_snr": jnp.mean(batch.net_snr)}
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    if with_bank:
+        return jax.jit(step_impl, donate_argnums=(0,))
+    return jax.jit(lambda s, k: step_impl(s, k), donate_argnums=(0,))
 
 
 def make_eval_nll(cfg: TrainConfig):
