@@ -1,0 +1,119 @@
+"""Offline dataset I/O: HDF5 writer/reader + metadata.
+
+Reference surface (src/ahsd/data/io_utils.py DatasetWriter/DatasetReader/
+MetadataManager, 731 LoC of pickle/HDF5/JSON plumbing). The rebuild's
+training path never touches disk (on-device synthesis), but the offline
+format remains first-class for: frozen evaluation sets, cross-framework
+comparisons, and exporting simulator output to reference-style component
+storage (whitened noise + each whitened signal stored separately, float16,
+so components re-sum exactly — dataset_generator.py:300-355).
+
+Layout per file (HDF5):
+  strain    [N, 3, T]  f16   whitened noise+signals
+  noise     [N, 3, T]  f16   whitened noise component
+  signals   [N, S, 3, T] f16 per-signal whitened components
+  params    [N, S, 11] f32   rank-ordered physical parameters
+  n_sig     [N]        i32
+  net_snr   [N]        f32
+  sig_snr   [N, S]     f32
+  attrs: config JSON, creation metadata
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DatasetWriter:
+    def __init__(self, path: str | Path, config: Optional[dict] = None):
+        import h5py
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = h5py.File(self.path, "w")
+        self._f.attrs["config"] = json.dumps(config or {})
+        self._f.attrs["created"] = time.time()
+        self._f.attrs["framework"] = "posteriflow_tpu"
+        self._n = 0
+
+    def append_batch(self, batch: Dict[str, np.ndarray]):
+        """batch: dict of arrays with matching leading dim."""
+        import h5py
+        n_new = len(next(iter(batch.values())))
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if k not in self._f:
+                maxshape = (None,) + v.shape[1:]
+                dt = np.float16 if k in ("strain", "noise",
+                                         "signals") else v.dtype
+                self._f.create_dataset(k, shape=(0,) + v.shape[1:],
+                                       maxshape=maxshape, dtype=dt,
+                                       chunks=(min(64, max(n_new, 1)),)
+                                       + v.shape[1:])
+            ds = self._f[k]
+            ds.resize(self._n + n_new, axis=0)
+            ds[self._n:self._n + n_new] = v
+        self._n += n_new
+
+    def close(self):
+        self._f.attrs["n_events"] = self._n
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class DatasetReader:
+    def __init__(self, path: str | Path):
+        import h5py
+        self.path = Path(path)
+        self._f = h5py.File(self.path, "r")
+
+    @property
+    def n_events(self) -> int:
+        return int(self._f.attrs.get("n_events",
+                                     len(self._f["params"])))
+
+    @property
+    def config(self) -> dict:
+        return json.loads(self._f.attrs.get("config", "{}"))
+
+    def __len__(self):
+        return self.n_events
+
+    def keys(self):
+        return list(self._f.keys())
+
+    def read(self, key: str, start: int = 0,
+             stop: Optional[int] = None) -> np.ndarray:
+        return np.asarray(self._f[key][start:stop])
+
+    def batches(self, batch_size: int = 128) -> Iterator[Dict]:
+        for i in range(0, self.n_events, batch_size):
+            yield {k: np.asarray(self._f[k][i:i + batch_size])
+                   for k in self._f.keys()}
+
+    def close(self):
+        self._f.close()
+
+
+class MetadataManager:
+    """Sidecar JSON metadata (reference MetadataManager: io_utils.py:507)."""
+
+    def __init__(self, dataset_path: str | Path):
+        self.path = Path(str(dataset_path) + ".meta.json")
+
+    def write(self, meta: dict):
+        meta = {**meta, "updated": time.time()}
+        self.path.write_text(json.dumps(meta, indent=2, default=float))
+
+    def read(self) -> dict:
+        return json.loads(self.path.read_text()) if self.path.exists() \
+            else {}

@@ -1,0 +1,180 @@
+"""Nested-sampling comparison bridge (dynesty), conventions-matched.
+
+Reference surface (src/ahsd/inference/dynesty_bridge.py): run bilby/dynesty
+on identical data with the training conventions — GPS_REF epoch alignment
+(the sidereal RA-rotation trap documented at its :20-24), training-matched
+priors — plus align_conventions and run_comparison.
+
+This environment has neither bilby nor dynesty; the module is import-gated
+but fully structured: the likelihood is the framework's own vmapped Whittle
+likelihood (exactly the one importance sampling uses), so any sampler with
+a log-likelihood callback works. A self-contained pure-numpy nested sampler
+(static ellipsoidal, for smoke-level comparisons) is provided so
+run_comparison works offline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from posteriflow_tpu import PARAM_NAMES
+from posteriflow_tpu.physics.constants import GPS_REF
+from posteriflow_tpu.prior import (_DIST_HI, _DIST_LO, _MASS_HI, _MASS_LO,
+                                   BBH)
+
+
+def training_matched_priors() -> Dict[str, tuple]:
+    """(lo, hi, shape) per parameter, matching the training priors
+    (reference: dynesty_bridge.py:32-53). Times are offsets from GPS_REF —
+    align_conventions handles absolute-GPS conversion."""
+    return {
+        "mass_1": (_MASS_LO[BBH], _MASS_HI[BBH], "log"),
+        "mass_2": (_MASS_LO[BBH], _MASS_HI[BBH], "log"),
+        "luminosity_distance": (_DIST_LO[BBH], _DIST_HI[BBH], "d2"),
+        "ra": (0.0, 2 * np.pi, "uniform"),
+        "dec": (-np.pi / 2, np.pi / 2, "cos"),
+        "theta_jn": (0.0, np.pi, "sin"),
+        "psi": (0.0, np.pi, "uniform"),
+        "phase": (0.0, 2 * np.pi, "uniform"),
+        "geocent_time": (-1.5, 1.5, "uniform"),
+        "a1": (0.0, 0.99, "uniform"),
+        "a2": (0.0, 0.99, "uniform"),
+    }
+
+
+def prior_transform(u: np.ndarray) -> np.ndarray:
+    """Unit cube -> physical parameters under the training priors (the
+    dynesty prior_transform convention)."""
+    pri = training_matched_priors()
+    out = np.empty_like(u)
+    for j, name in enumerate(PARAM_NAMES):
+        lo, hi, shape = pri[name]
+        x = u[..., j]
+        if shape == "log":
+            out[..., j] = np.exp(np.log(lo) + x * (np.log(hi) - np.log(lo)))
+        elif shape == "d2":
+            out[..., j] = (lo ** 3 + x * (hi ** 3 - lo ** 3)) ** (1 / 3)
+        elif shape == "cos":                 # dec: uniform in sin(dec)
+            out[..., j] = np.arcsin(2 * x - 1)
+        elif shape == "sin":                 # theta_jn: uniform in cos
+            out[..., j] = np.arccos(1 - 2 * x)
+        else:
+            out[..., j] = lo + x * (hi - lo)
+    # enforce m1 >= m2 by swap (keeps the cube bijective up to symmetry)
+    m1 = np.maximum(out[..., 0], out[..., 1])
+    m2 = np.minimum(out[..., 0], out[..., 1])
+    out[..., 0], out[..., 1] = m1, m2
+    return out
+
+
+def align_conventions(samples: np.ndarray,
+                      to_absolute_gps: bool = True) -> np.ndarray:
+    """Offset-time <-> absolute-GPS conversion (reference
+    align_conventions: dynesty_bridge.py:107). RA is already geocentric —
+    NO sidereal rotation is applied (the documented trap: rotating RA by
+    GMST a second time double-counts the Earth's orientation)."""
+    out = np.array(samples, copy=True)
+    idx = list(PARAM_NAMES).index("geocent_time")
+    out[..., idx] += GPS_REF if to_absolute_gps else -GPS_REF
+    return out
+
+
+def run_dynesty(log_likelihood: Callable, nlive: int = 500,
+                dlogz: float = 0.5, seed: int = 0, maxiter: int = 20000):
+    """Run dynesty when installed; otherwise the built-in fallback sampler.
+
+    log_likelihood(theta [..., 11]) -> [...] (vectorized; the framework's
+    make_log_likelihood works directly)."""
+    try:
+        import dynesty  # noqa: F401
+        return _run_real_dynesty(log_likelihood, nlive, dlogz, seed,
+                                 maxiter)
+    except ImportError:
+        return _nested_fallback(log_likelihood, nlive, dlogz, seed, maxiter)
+
+
+def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter):  # pragma: no cover
+    import dynesty
+    sampler = dynesty.NestedSampler(
+        lambda t: float(log_l(t[None])[0]), prior_transform,
+        ndim=len(PARAM_NAMES), nlive=nlive,
+        rstate=np.random.default_rng(seed))
+    sampler.run_nested(dlogz=dlogz, maxiter=maxiter, print_progress=False)
+    res = sampler.results
+    w = np.exp(res.logwt - res.logwt.max())
+    return {"samples": res.samples, "weights": w / w.sum(),
+            "logz": float(res.logz[-1]), "sampler": "dynesty",
+            "n_like_calls": int(res.ncall.sum())}
+
+
+def _nested_fallback(log_l, nlive, dlogz, seed, maxiter):
+    """Minimal vectorized nested sampler (resample-from-live proposals with
+    Gaussian jitter). Smoke-grade: validates conventions and provides an
+    offline baseline, not a production sampler."""
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(size=(nlive, len(PARAM_NAMES)))
+    theta = prior_transform(u)
+    ll = np.asarray(log_l(theta.astype(np.float32)))
+    dead_theta, dead_ll, logvol = [], [], []
+    vol = 0.0
+    n_calls = nlive
+    for it in range(maxiter):
+        i_min = int(np.argmin(ll))
+        dead_theta.append(theta[i_min].copy())
+        dead_ll.append(float(ll[i_min]))
+        vol -= 1.0 / nlive
+        logvol.append(vol)
+        # propose from a random live point + shrinking unit-cube jitter
+        for _ in range(50):
+            j = rng.integers(nlive)
+            u_new = np.clip(u[j] + 0.1 * np.exp(vol / 2)
+                            * rng.standard_normal(u.shape[1]), 1e-9,
+                            1 - 1e-9)
+            t_new = prior_transform(u_new[None])[0]
+            ll_new = float(log_l(t_new[None].astype(np.float32))[0])
+            n_calls += 1
+            if ll_new > ll[i_min]:
+                u[i_min], theta[i_min], ll[i_min] = u_new, t_new, ll_new
+                break
+        # convergence: remaining live evidence below dlogz
+        if it > nlive and (ll.max() + vol) < (max(dead_ll) - dlogz):
+            break
+    dead_ll = np.asarray(dead_ll)
+    logvol = np.asarray(logvol)
+    logwt = dead_ll + logvol
+    w = np.exp(logwt - logwt.max())
+    return {"samples": np.asarray(dead_theta), "weights": w / w.sum(),
+            "logz": float(np.log(np.sum(w)) + logwt.max()),
+            "sampler": "fallback-nested", "n_like_calls": n_calls}
+
+
+def run_comparison(engine, prepared, n_samples: int = 2000,
+                   nlive: int = 300, seed: int = 0,
+                   maxiter: int = 5000) -> Dict:
+    """NPE vs nested sampling on identical data (reference run_comparison:
+    dynesty_bridge.py:116). Returns both posteriors + per-parameter
+    comparison metrics + wall times."""
+    import time
+    from posteriflow_tpu.evaluation.metrics import ComparisonMetrics
+    from posteriflow_tpu.inference.importance import make_log_likelihood
+    from posteriflow_tpu.inference.pipeline import infer
+
+    t0 = time.perf_counter()
+    npe = infer(engine, data=prepared, n_samples=n_samples, seed=seed)
+    t_npe = time.perf_counter() - t0
+
+    log_l = make_log_likelihood(prepared.strain)
+    t0 = time.perf_counter()
+    ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter)
+    t_ns = time.perf_counter() - t0
+
+    idx = np.random.default_rng(seed).choice(
+        len(ns["samples"]), size=min(n_samples, len(ns["samples"])),
+        p=ns["weights"])
+    comp = ComparisonMetrics().compare_posteriors(npe.samples,
+                                                  ns["samples"][idx])
+    return {"npe": npe, "nested": ns, "comparison": comp,
+            "t_npe_s": t_npe, "t_nested_s": t_ns,
+            "speedup": t_ns / max(t_npe, 1e-9)}

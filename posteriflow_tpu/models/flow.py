@@ -96,6 +96,16 @@ class CouplingNSF(nn.Module):
     num_bins: int = 16
     tail_bound: float = 5.0
     compute_dtype: str = "bfloat16"    # conditioner matmul dtype
+    use_pallas: bool = False           # fused Pallas spline kernel
+                                       # (ops/pallas_rqs.py; XLA path is
+                                       # currently as fast — see its note)
+
+    def _rqs(self, inverse: bool):
+        if self.use_pallas:
+            from posteriflow_tpu.ops.pallas_rqs import (pallas_rqs_forward,
+                                                        pallas_rqs_inverse)
+            return pallas_rqs_inverse if inverse else pallas_rqs_forward
+        return rqs_inverse if inverse else rqs_forward
 
     def setup(self):
         perms = _make_permutations(self.features, self.num_layers)
@@ -115,14 +125,16 @@ class CouplingNSF(nn.Module):
         y = y[..., np.asarray(self._perms[i])]
         y_id, y_tr = y[..., :self._n_id], y[..., self._n_id:]
         raw = self.conditioners[i](y_id, context)
-        z_tr, ld = rqs_forward(y_tr, raw, self.num_bins, self.tail_bound)
+        z_tr, ld = self._rqs(False)(y_tr, raw, self.num_bins,
+                                    self.tail_bound)
         z = jnp.concatenate([y_id, z_tr], axis=-1)
         return z, ld
 
     def _layer_inverse(self, i: int, z: jnp.ndarray, context: jnp.ndarray):
         z_id, z_tr = z[..., :self._n_id], z[..., self._n_id:]
         raw = self.conditioners[i](z_id, context)
-        y_tr, ld = rqs_inverse(z_tr, raw, self.num_bins, self.tail_bound)
+        y_tr, ld = self._rqs(True)(z_tr, raw, self.num_bins,
+                                   self.tail_bound)
         y = jnp.concatenate([z_id, y_tr], axis=-1)
         return y[..., np.asarray(self._inv_perms[i])], ld
 

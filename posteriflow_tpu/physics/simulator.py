@@ -70,6 +70,7 @@ class EventBatch(NamedTuple):
     params: jax.Array       # [B, S, N_PARAMS] physical, rank-ordered
     n_sig: jax.Array        # [B] int32, signals surviving the SNR gate
     net_snr: jax.Array      # [B] network SNR of the summed injection
+    sig_snr: jax.Array      # [B, S] per-signal network SNR (rank order)
     asd_bands: jax.Array    # [B, n_det, K] sensitivity summary (0 = design)
     det_mask: jax.Array     # [B, n_det] 1 = detector present
 
@@ -131,8 +132,8 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     k_noise, k_drop, k_cfg, k_fill, k_real, k_use = jax.random.split(key, 6)
 
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
-    params, h_w, _snr, n_valid = _rank_and_gate(params, h_w, n_sig,
-                                                cfg.min_snr)
+    params, h_w, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
+                                                   cfg.min_snr)
 
     sig_fd = jnp.sum(h_w, axis=0)                                  # [n_det, F]
     sig_td = fd_white_to_td(sig_fd, N_SAMPLES)                     # [n_det, T]
@@ -173,7 +174,8 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
 
     asd_bands = asd_bands * det_mask[:, None]      # dropped dets report 0
     return EventBatch(strain.astype(jnp.float32), params, n_valid,
-                      net_snr.astype(jnp.float32), asd_bands, det_mask)
+                      net_snr.astype(jnp.float32), sig_snr, asd_bands,
+                      det_mask)
 
 
 def simulate_batch(key: jax.Array, batch_size: int,

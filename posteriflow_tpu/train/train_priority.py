@@ -1,0 +1,157 @@
+"""PriorityNet trainer: on-device overlap-scenario synthesis + ranking loss.
+
+The reference builds priority scenarios by reservoir-sampling a stored
+dataset and synthesizing artificial overlaps in DataLoader workers
+(experiments/train_priority_net.py:389-1031, 2116 LoC). Here scenarios are
+one jitted simulate_batch with overlap_fraction=1 — every step sees fresh
+overlaps — and the candidate features are (strain segments around each
+TRUE merger, jittered parameters mimicking upstream posterior medians).
+Targets are the per-signal network SNRs normalized within each event
+(priority normalization, reference snr_utils semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from posteriflow_tpu.models.priority_net import (SEG_LEN, PriorityNet,
+                                                 ranking_loss)
+from posteriflow_tpu.physics.constants import DURATION, SAMPLE_RATE
+from posteriflow_tpu.physics.simulator import SimConfig, simulate_batch
+from posteriflow_tpu.prior import PriorConfig
+
+log = logging.getLogger("posteriflow.priority")
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorityTrainConfig:
+    batch_size: int = 32
+    lr: float = 1e-3
+    param_jitter: float = 0.05      # relative jitter on candidate params
+                                    # (mimics upstream posterior medians)
+    min_snr: float = 6.0
+    max_signals: int = 4
+    d_model: int = 64
+
+    @property
+    def sim(self) -> SimConfig:
+        return SimConfig(prior=PriorConfig(max_signals=self.max_signals,
+                                           overlap_fraction=1.0,
+                                           noise_fraction=0.0),
+                         min_snr=self.min_snr)
+
+
+def extract_segments_jax(strain: jnp.ndarray,
+                         t_offs: jnp.ndarray) -> jnp.ndarray:
+    """[n_det, T] + [S] merger offsets -> [S, n_det, SEG_LEN] (jittable
+    twin of inference.ranking.extract_segments)."""
+    t = strain.shape[-1]
+    centers = ((t_offs + DURATION / 2) * SAMPLE_RATE).astype(jnp.int32)
+    lo = jnp.clip(centers - SEG_LEN // 2, 0, t - SEG_LEN)
+
+    def one(l):
+        return jax.lax.dynamic_slice(strain, (0, l),
+                                     (strain.shape[0], SEG_LEN))
+
+    return jax.vmap(one)(lo)
+
+
+def make_priority_batch(key: jax.Array, cfg: PriorityTrainConfig):
+    """(segments [B,S,3,L], params [B,S,11], mask [B,S], targets [B,S])."""
+    k_sim, k_jit = jax.random.split(key)
+    ev = simulate_batch(k_sim, cfg.batch_size, cfg.sim)
+    s = ev.params.shape[1]
+    mask = (jnp.arange(s)[None, :] < ev.n_sig[:, None]).astype(jnp.float32)
+
+    # candidate params: truth + relative jitter (upstream estimates)
+    jitter = 1.0 + cfg.param_jitter * jax.random.normal(k_jit,
+                                                        ev.params.shape)
+    cand = ev.params * jitter
+    segs = jax.vmap(extract_segments_jax)(ev.strain, cand[..., 8])
+
+    # normalized priority target: per-signal SNR / event max
+    tmax = jnp.max(ev.sig_snr, axis=1, keepdims=True)
+    targets = ev.sig_snr / jnp.maximum(tmax, 1e-6)
+    return segs, cand, mask, targets
+
+
+def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
+                 PriorityTrainConfig(), steps: int = 500, seed: int = 0,
+                 eval_every: int = 100):
+    """Train PriorityNet; returns (params, history). Saves params (msgpack)
+    + history.json under outdir."""
+    from flax.serialization import to_bytes
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    net = PriorityNet(d_model=cfg.d_model)
+    key = jax.random.PRNGKey(seed)
+    k_init, key = jax.random.split(key)
+    segs, cand, mask, targets = make_priority_batch(k_init, cfg)
+    params = net.init(k_init, segs, cand, mask)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        segs, cand, mask, targets = make_priority_batch(key, cfg)
+
+        def loss_fn(p):
+            scores, sigma = net.apply(p, segs, cand, mask)
+            return ranking_loss(scores, targets, sigma, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_metrics(params, key):
+        segs, cand, mask, targets = make_priority_batch(key, cfg)
+        scores, _ = net.apply(params, segs, cand, mask)
+        # top-1 accuracy on events with >= 2 live candidates
+        multi = jnp.sum(mask, axis=1) >= 2
+        top_pred = jnp.argmax(jnp.where(mask > 0, scores, -jnp.inf), axis=1)
+        top_true = jnp.argmax(jnp.where(mask > 0, targets, -jnp.inf),
+                              axis=1)
+        acc = (jnp.sum((top_pred == top_true) * multi)
+               / jnp.maximum(jnp.sum(multi), 1.0))
+        return acc
+
+    history = []
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        if (i + 1) % eval_every == 0 or i == 0:
+            acc = float(eval_metrics(params, jax.random.fold_in(
+                jax.random.PRNGKey(seed + 999), i)))
+            rec = {"step": i + 1, "loss": float(loss), "top1_acc": acc,
+                   "seconds": round(time.time() - t0, 1)}
+            history.append(rec)
+            log.info("step %4d | loss %.4f | top-1 %.3f", i + 1,
+                     rec["loss"], acc)
+
+    (outdir / "priority_params.msgpack").write_bytes(to_bytes(params))
+    (outdir / "history.json").write_text(json.dumps(history, indent=2))
+    return params, history
+
+
+def load_priority_net(path: str | Path, d_model: int = 64):
+    """-> (net, params) (reference load_priority_net:
+    priority_net.py:1161)."""
+    from flax.serialization import from_bytes
+    net = PriorityNet(d_model=d_model)
+    dummy = net.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 2, 3, SEG_LEN)), jnp.ones((1, 2, 11)),
+                     jnp.ones((1, 2)))
+    params = from_bytes(dummy, Path(path).read_bytes())
+    return net, params
