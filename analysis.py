@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Regenerate analysis figures from durable artifacts.
+
+Reference analog: analysis.py (every paper figure from committed JSON
+artifacts, fixed color conventions). Each panel renders IF its artifact
+exists; missing artifacts are skipped with a note, so the script is safe to
+run at any stage of a training campaign.
+
+Inputs (any subset):
+  model/*/history.json                    training curves
+  analysis/overlap_benchmark.json         per-rank calibration + runtimes
+  analysis/twin_grid.json                 amortization-bias map
+  reports/diag/diagnostics.json           coverage/SBC audit
+  BENCH_r*.json                           per-round bench results
+
+Usage: python analysis.py [--outdir figures]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+C_BLUE, C_RED, C_GREY = "#4477aa", "#cc3311", "#777777"
+
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def fig_training_curves(outdir, runs):
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for name, hist in runs.items():
+        ep = [h["epoch"] for h in hist]
+        axes[0].plot(ep, [h["val_nll"] for h in hist], label=name)
+        axes[1].plot(ep, [h.get("shuffle_delta_nll", 0) for h in hist],
+                     label=name)
+        axes[2].plot(ep, [h.get("spurious_railing", 0) for h in hist],
+                     label=name)
+    for ax, title in zip(axes, ("val NLL", "shuffle-ΔNLL (conditioning)",
+                                "spurious railing")):
+        ax.set_title(title)
+        ax.set_xlabel("epoch")
+        ax.legend(fontsize=7)
+    axes[2].axhline(0.10, color=C_RED, ls="--", lw=1, label="gate")
+    fig.tight_layout()
+    fig.savefig(outdir / "training_curves.png", dpi=110)
+    plt.close(fig)
+    return "training_curves.png"
+
+
+def fig_overlap(outdir, data):
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    pr = data.get("per_rank", {})
+    keys = sorted(pr)
+    axes[0].bar(range(len(keys)), [pr[k]["cov90_mean"] for k in keys],
+                color=C_BLUE)
+    axes[0].axhline(0.9, color=C_RED, ls="--", lw=1)
+    axes[0].set_xticks(range(len(keys)))
+    axes[0].set_xticklabels(keys, rotation=45, fontsize=7)
+    axes[0].set_title("cov90 per (multiplicity, rank)")
+    for b in data.get("dt_bins", []):
+        axes[1].plot([sum(b["dt_bin"]) / 2] * 2,
+                     [b["rank0_cov90"], b["rank1_cov90"]], "o-",
+                     color=C_GREY, ms=4)
+    axes[1].axhline(0.9, color=C_RED, ls="--", lw=1)
+    axes[1].set_title("cov90 vs |dt| (rank0 top, rank1 bottom)")
+    axes[1].set_xlabel("|dt| [s]")
+    rt = data.get("runtime", {})
+    axes[2].bar(range(len(rt)), list(rt.values()), color=C_BLUE)
+    axes[2].set_xticks(range(len(rt)))
+    axes[2].set_xticklabels(list(rt), fontsize=8)
+    axes[2].set_title("median k-rank wall time [s]")
+    fig.tight_layout()
+    fig.savefig(outdir / "overlap_benchmark.png", dpi=110)
+    plt.close(fig)
+    return "overlap_benchmark.png"
+
+
+def fig_twin_grid(outdir, data):
+    plt = _mpl()
+    import numpy as np
+    g = data["grid"]
+    mcs = sorted({p["mc"] for p in g})
+    qs = sorted({p["q"] for p in g})
+    z = np.zeros((len(qs), len(mcs)))
+    for p in g:
+        z[qs.index(p["q"]), mcs.index(p["mc"])] = p["mc_bias_frac_mean"]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(z, origin="lower", aspect="auto", cmap="RdBu_r",
+                   vmin=-0.3, vmax=0.3,
+                   extent=[min(mcs), max(mcs), min(qs), max(qs)])
+    fig.colorbar(im, label="chirp-mass bias fraction")
+    ax.set_xlabel("Mc")
+    ax.set_ylabel("q")
+    ax.set_title("twin-injection amortization bias")
+    fig.tight_layout()
+    fig.savefig(outdir / "twin_grid.png", dpi=110)
+    plt.close(fig)
+    return "twin_grid.png"
+
+
+def fig_bench(outdir, benches):
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    rounds = sorted(benches)
+    vals = [benches[r]["value"] for r in rounds]
+    ax.semilogy(rounds, vals, "o-", color=C_BLUE)
+    ax.axhline(1e6, color=C_RED, ls="--", lw=1, label="1e6 target")
+    ax.axhline(1120, color=C_GREY, ls=":", lw=1, label="reference")
+    ax.set_xlabel("round")
+    ax.set_ylabel("posterior draws/s/chip")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(outdir / "bench_history.png", dpi=110)
+    plt.close(fig)
+    return "bench_history.png"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--outdir", default="figures")
+    args = ap.parse_args(argv)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    made, skipped = [], []
+
+    runs = {}
+    for h in Path("model").glob("*/history.json"):
+        try:
+            runs[h.parent.name] = json.loads(h.read_text())
+        except Exception:
+            pass
+    if runs:
+        made.append(fig_training_curves(outdir, runs))
+    else:
+        skipped.append("training_curves (no model/*/history.json)")
+
+    ob = Path("analysis/overlap_benchmark.json")
+    if ob.exists():
+        made.append(fig_overlap(outdir, json.loads(ob.read_text())))
+    else:
+        skipped.append("overlap_benchmark")
+
+    tg = Path("analysis/twin_grid.json")
+    if tg.exists():
+        made.append(fig_twin_grid(outdir, json.loads(tg.read_text())))
+    else:
+        skipped.append("twin_grid")
+
+    benches = {}
+    for b in Path(".").glob("BENCH_r*.json"):
+        try:
+            benches[b.stem] = json.loads(b.read_text())
+        except Exception:
+            pass
+    if benches:
+        made.append(fig_bench(outdir, benches))
+    else:
+        skipped.append("bench_history")
+
+    print(f"made: {made}")
+    if skipped:
+        print(f"skipped (artifact missing): {skipped}")
+    return made
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,10 @@ class SimConfig:
     # probability an event uses a real-noise crop (needs a NoiseBank passed
     # to simulate_batch; reference: remix_data.py real_noise_prob)
     real_noise_prob: float = 0.0
+    # burst-glitch augmentation: per-event probability of injecting 1..3
+    # sine-Gaussian bursts into one detector's noise (reference
+    # add_glitches: bilby_pipeline.py:328-348)
+    glitch_prob: float = 0.0
 
     @property
     def max_signals(self) -> int:
@@ -119,6 +123,33 @@ def _rank_and_gate(params, h_w, n_sig, min_snr):
     return params, h_w, snr, n_valid
 
 
+def _glitch_burst(key: jax.Array, prob: float,
+                  max_glitches: int = 3) -> jax.Array:
+    """[n_det, T] additive sine-Gaussian bursts in ONE random detector with
+    probability `prob` (whitened units; reference amplitudes 2–8σ,
+    widths 20–200 samples: bilby_pipeline.py:328-348)."""
+    k_u, k_det, k_n, k_c, k_w, k_a = jax.random.split(key, 6)
+    fire = jax.random.uniform(k_u) < prob
+    det = jax.random.randint(k_det, (), 0, N_DETECTORS)
+    n_g = jax.random.randint(k_n, (), 1, max_glitches + 1)
+    centers = jax.random.randint(k_c, (max_glitches,), 0, N_SAMPLES)
+    widths = jax.random.uniform(k_w, (max_glitches,), minval=20.0,
+                                maxval=200.0)
+    amps = jax.random.uniform(k_a, (max_glitches,), minval=2.0, maxval=8.0)
+    t = jnp.arange(N_SAMPLES, dtype=jnp.float32)
+
+    def one(c, w, a, live):
+        x = t - c
+        env = jnp.exp(-x ** 2 / (2.0 * (w / 3.0) ** 2))
+        return live * a * env * jnp.sin(2.0 * jnp.pi * x / w)
+
+    live = (jnp.arange(max_glitches) < n_g).astype(jnp.float32) \
+        * fire.astype(jnp.float32)
+    burst = jnp.sum(jax.vmap(one)(centers.astype(jnp.float32), widths,
+                                  amps, live), axis=0)
+    return burst[None, :] * (jnp.arange(N_DETECTORS)[:, None] == det)
+
+
 def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
                    asd: jax.Array, cfg: SimConfig, bank=None):
     """Assemble one whitened 3-detector training event.
@@ -165,6 +196,10 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
         fill = jnp.where(use_real, r_fill, fill)
         sig_td = jnp.where(use_real, sig_recolored, sig_td)
         asd_bands = jnp.where(use_real, r_bands, asd_bands)
+
+    if cfg.glitch_prob > 0.0:
+        k_g, k_noise2 = jax.random.split(k_noise)
+        noise = noise + _glitch_burst(k_g, cfg.glitch_prob)
 
     if cfg.add_noise:
         strain = jnp.where(det_mask[:, None] > 0,

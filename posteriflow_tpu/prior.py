@@ -57,6 +57,19 @@ class PriorConfig:
     max_signals: int = 5
     overlap_fraction: float = 0.45
     noise_fraction: float = 0.05
+    # chirp-mass oversampling exponent alpha: events drawn ∝ Mc^alpha via an
+    # importance-style proposal on log m1 (reference --mc_oversample,
+    # train_lean_npe.py:206-210 — rebalances toward the heavy corner where
+    # twin tests show prior-fallback bias). 0 = off.
+    mc_oversample: float = 0.0
+    # pre-merger (early-warning) events: with this probability a
+    # SINGLE-signal event's merger is pushed past the window end by
+    # time_to_merger ~ U(range), distance redrawn nearby (reference:
+    # dataset_generator.py:211-232 + premerger_config). Requires the
+    # premerger ParamScaler range at the model.
+    premerger_fraction: float = 0.0
+    premerger_ttm_range: tuple = (0.5, 3.0)
+    premerger_distance_range: tuple = (50.0, 400.0)
 
 
 def _uniform(key, lo, hi, shape=()):
@@ -80,8 +93,17 @@ def sample_signal_params(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> ja
     m_lo, m_hi = pick(_MASS_LO), pick(_MASS_HI)
     m2_lo, m2_hi = pick(_M2_LO), pick(_M2_HI)
 
-    # Primary mass: log-uniform for BBH/NSBH, uniform for BNS.
+    # Primary mass: log-uniform for BBH/NSBH, uniform for BNS. With
+    # mc_oversample=alpha the log-m1 proposal tilts ∝ m1^alpha via
+    # inverse-CDF of exp(alpha·x) on [log lo, log hi] (heavier systems drawn
+    # more often — the weighted-sampler semantics of the reference's
+    # --mc_oversample, expressed as a proposal change).
     u1 = _uniform(keys[1], 0.0, 1.0)
+    if cfg.mc_oversample > 0.0:
+        a = cfg.mc_oversample
+        lo_l, hi_l = jnp.log(m_lo), jnp.log(m_hi)
+        u1 = (jnp.log1p(u1 * jnp.expm1(a * (hi_l - lo_l)))
+              / (a * (hi_l - lo_l)))
     m1_log = jnp.exp(jnp.log(m_lo) + u1 * (jnp.log(m_hi) - jnp.log(m_lo)))
     m1_lin = m_lo + u1 * (m_hi - m_lo)
     m1 = jnp.where(et == BNS, m1_lin, m1_log)
@@ -136,11 +158,34 @@ def sample_event(key: jax.Array, cfg: PriorConfig = PriorConfig()):
     """One training event: ([MAX_SIGNALS, N_PARAMS] params, n_sig scalar).
 
     All MAX_SIGNALS slots hold valid draws; slots >= n_sig are masked
-    downstream (static shapes for XLA)."""
-    kn, kp = jax.random.split(key)
+    downstream (static shapes for XLA). Pre-merger conversion (single-signal
+    events only) pushes the merger time_to_merger seconds past the window
+    end and redraws a nearby distance (reference:
+    dataset_generator.py:211-232)."""
+    kn, kp, kpm = jax.random.split(key, 3)
     n_sig = sample_n_signals(kn, cfg)
     params = jax.vmap(lambda k: sample_signal_params(k, cfg))(
         jax.random.split(kp, cfg.max_signals))
+
+    if cfg.premerger_fraction > 0.0:
+        # NOTE: with the merger past the window end, the fixed-window FD
+        # generation wraps the merger circularly back into the window —
+        # the same behavior as the reference's bilby fixed-window path
+        # (its FD time shift is equally circular); the premerger scaler
+        # range must be enabled at the model (NPEConfig.premerger).
+        k_u, k_ttm, k_d = jax.random.split(kpm, 3)
+        is_pm = ((jax.random.uniform(k_u) < cfg.premerger_fraction)
+                 & (n_sig == 1))
+        ttm = _uniform(k_ttm, *cfg.premerger_ttm_range)
+        from posteriflow_tpu.physics.constants import DURATION
+        t_pm = DURATION / 2.0 + ttm          # merger past the window end
+        d_pm = _uniform(k_d, *cfg.premerger_distance_range)
+        p0 = params[0]
+        p0 = p0.at[IDX["geocent_time"]].set(
+            jnp.where(is_pm, t_pm, p0[IDX["geocent_time"]]))
+        p0 = p0.at[IDX["luminosity_distance"]].set(
+            jnp.where(is_pm, d_pm, p0[IDX["luminosity_distance"]]))
+        params = params.at[0].set(p0)
     return params, n_sig
 
 

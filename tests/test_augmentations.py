@@ -1,0 +1,77 @@
+"""Premerger / Mc-oversampling / glitch augmentation + cosmology helpers
+(reference analogs: dataset_generator premerger branch, --mc_oversample,
+add_glitches, data/utils.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posteriflow_tpu.physics.cosmology import (chi_eff, chirp_mass,
+                                               luminosity_distance,
+                                               mass_ratio,
+                                               redshift_from_luminosity_distance,
+                                               source_frame_masses)
+from posteriflow_tpu.physics.simulator import SimConfig, simulate_batch
+from posteriflow_tpu.prior import PriorConfig, sample_batch
+
+
+def test_premerger_conversion():
+    cfg = PriorConfig(premerger_fraction=0.5, overlap_fraction=0.0,
+                      noise_fraction=0.0)
+    p, n = jax.jit(lambda k: sample_batch(k, 512, cfg))(jax.random.PRNGKey(0))
+    p, n = np.asarray(p), np.asarray(n)
+    pm = p[:, 0, 8] > 2.0
+    assert 0.35 < pm.mean() < 0.65
+    # merger past window end by [0.5, 3] s
+    assert (p[pm, 0, 8] >= 2.5 - 1e-5).all()
+    assert (p[pm, 0, 8] <= 5.0 + 1e-5).all()
+    # nearby distance redraw
+    assert (p[pm, 0, 2] <= 400.0 + 1e-3).all()
+    # multi-signal events never converted
+    cfg2 = PriorConfig(premerger_fraction=1.0, overlap_fraction=1.0,
+                       noise_fraction=0.0)
+    p2, n2 = jax.jit(lambda k: sample_batch(k, 256, cfg2))(
+        jax.random.PRNGKey(1))
+    p2, n2 = np.asarray(p2), np.asarray(n2)
+    assert (p2[n2 >= 2, 0, 8] <= 1.5 + 1e-5).all()
+
+
+def test_mc_oversample_shifts_masses():
+    base = PriorConfig(type_probs=(1.0, 0.0, 0.0))
+    over = PriorConfig(type_probs=(1.0, 0.0, 0.0), mc_oversample=1.0)
+    p0, _ = jax.jit(lambda k: sample_batch(k, 1024, base))(
+        jax.random.PRNGKey(2))
+    p1, _ = jax.jit(lambda k: sample_batch(k, 1024, over))(
+        jax.random.PRNGKey(2))
+    m0 = float(np.median(np.asarray(p0)[:, :, 0]))
+    m1 = float(np.median(np.asarray(p1)[:, :, 0]))
+    assert m1 > 1.5 * m0
+    # bounds still respected
+    assert np.asarray(p1)[:, :, 0].max() <= 100.0 + 1e-3
+
+
+def test_glitch_injection():
+    cfg = SimConfig(glitch_prob=1.0,
+                    prior=PriorConfig(noise_fraction=1.0))
+    b = jax.jit(lambda k: simulate_batch(k, 8, cfg))(jax.random.PRNGKey(3))
+    s = np.asarray(b.strain)
+    assert np.isfinite(s).all()
+    # noise-only events with forced glitches: peak well above Gaussian 4σ
+    assert np.abs(s).max() > 5.0
+    # glitches land in ONE detector per event: at most one det per event
+    # with extreme excursions
+    extreme = (np.abs(s) > 5.0).any(axis=-1).sum(axis=-1)
+    assert (extreme <= 1).all()
+
+
+def test_cosmology_roundtrip_and_known_values():
+    d = float(luminosity_distance(0.1))
+    assert d == pytest.approx(476.0, rel=0.02)       # Planck18 ballpark
+    z = float(redshift_from_luminosity_distance(d))
+    assert z == pytest.approx(0.1, abs=1e-3)
+    m1s, m2s, z2 = source_frame_masses(36.0, 29.0, 440.0)
+    assert float(m1s) < 36.0                         # redshifted down
+    assert float(chi_eff(30.0, 20.0, 0.5, -0.2)) == pytest.approx(0.22)
+    assert float(chirp_mass(30.0, 30.0)) == pytest.approx(26.12, rel=1e-3)
+    assert float(mass_ratio(30.0, 15.0)) == pytest.approx(0.5)
