@@ -1,0 +1,245 @@
+"""Long-duration BNS embedding: multibanded strain + sequence-parallel
+attention over the device mesh.
+
+BASELINE configs[3] — NEW capability with no reference pattern (SURVEY.md
+§5 long-context note: the reference sidesteps long sequences entirely).
+
+Physics: a BNS from 20 Hz lasts ~minutes; the information lives in the
+slowly-sweeping phase. The front-end here MULTIBANDS the whitened FD
+strain: geometrically-spaced frequency bands, each pooled to a fixed
+number of complex coefficients per band — frequency resolution follows the
+chirp's time-frequency occupancy, giving a sequence of L tokens (L in the
+thousands for 128 s segments) instead of 2^19 time samples.
+
+Parallelism: the token sequence is sharded over the mesh's "model" axis
+(sequence parallelism). Attention uses the Ulysses-style decomposition
+under shard_map: each shard holds its local queries and all-gathers K/V
+over the sequence axis — exact attention, one collective per layer, ICI-
+friendly for the moderate L this front-end produces. The feed-forward and
+LayerNorms are purely local to the shard.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from posteriflow_tpu.models.encoder import sinusoidal_positions
+
+
+def multiband_tokens(h_white_fd: jnp.ndarray, freqs: np.ndarray,
+                     f_lo: float = 20.0, f_hi: float = 1024.0,
+                     n_bands: int = 64, per_band: int = 32) -> jnp.ndarray:
+    """Whitened FD strain [..., n_det, F] -> [..., L, n_det·2] real tokens,
+    L = n_bands · per_band.
+
+    Each geomspaced band is average-pooled to per_band complex
+    coefficients; low bands (where a BNS dwells for minutes) keep fine
+    frequency resolution relative to their width, high bands coarse — the
+    multibanding standard for long-inspiral likelihoods, applied to the
+    embedding."""
+    edges = np.geomspace(f_lo, f_hi, n_bands + 1)
+    tokens = []
+    for b in range(n_bands):
+        sel = np.where((freqs >= edges[b]) & (freqs < edges[b + 1]))[0]
+        if len(sel) == 0:
+            sel = np.array([int(np.argmin(np.abs(freqs - edges[b])))])
+        # pad band bins to a multiple of per_band, then mean-pool
+        n = int(math.ceil(len(sel) / per_band) * per_band)
+        idx = np.pad(sel, (0, n - len(sel)), mode="edge")
+        band = h_white_fd[..., idx]                       # [..., D, n]
+        band = band.reshape(*band.shape[:-1], per_band, n // per_band)
+        pooled = jnp.mean(band, axis=-1)                  # [..., D, per_band]
+        tokens.append(pooled)
+    tok = jnp.concatenate(tokens, axis=-1)                # [..., D, L]
+    tok = jnp.moveaxis(tok, -1, -2)                       # [..., L, D]
+    return jnp.concatenate([tok.real, tok.imag], axis=-1)
+
+
+class SeqParallelAttention(nn.Module):
+    """Exact multi-head attention with the sequence sharded over `axis`.
+
+    Inside shard_map: q local [l_loc, d]; k/v all-gathered over the
+    sequence axis [L, d]. Without a mesh it reduces to plain attention."""
+    d_model: int
+    n_heads: int
+    axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dh = self.d_model // self.n_heads
+        q = nn.DenseGeneral((self.n_heads, dh), name="q")(x)
+        k = nn.DenseGeneral((self.n_heads, dh), name="k")(x)
+        v = nn.DenseGeneral((self.n_heads, dh), name="v")(x)
+        if self.axis is not None:
+            k = jax.lax.all_gather(k, self.axis, axis=0, tiled=True)
+            v = jax.lax.all_gather(v, self.axis, axis=0, tiled=True)
+        a = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(dh)
+        w = jax.nn.softmax(a, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", w, v)
+        return nn.DenseGeneral(self.d_model, axis=(-2, -1), name="o")(o)
+
+
+class LongBNSEncoder(nn.Module):
+    """Multibanded FD tokens -> context vector, sequence-parallel-ready.
+
+    __call__ operates on ONE event's token sequence [L, n_feat] (shard_map
+    and vmap supply batching); `encode_sharded` builds the mesh-parallel
+    program."""
+    d_model: int = 128
+    n_layers: int = 4
+    n_heads: int = 8
+    context_dim: int = 256
+    seq_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray,
+                 positions: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.d_model, name="embed")(tokens)
+        h = h + positions
+        for i in range(self.n_layers):
+            a = SeqParallelAttention(self.d_model, self.n_heads,
+                                     axis=self.seq_axis,
+                                     name=f"attn_{i}")(nn.LayerNorm()(h))
+            h = h + a
+            f = nn.Dense(self.d_model, name=f"ff2_{i}")(
+                nn.gelu(nn.Dense(2 * self.d_model, name=f"ff1_{i}")(
+                    nn.LayerNorm()(h))))
+            h = h + f
+        # local mean-pool; the sharded path psum-averages across shards
+        pooled = jnp.mean(h, axis=0)
+        if self.seq_axis is not None:
+            pooled = jax.lax.pmean(pooled, self.seq_axis)
+        return nn.Dense(self.context_dim, name="out")(pooled)
+
+
+def simulate_long_bns_batch(key: jax.Array, batch: int,
+                            duration: float = 64.0,
+                            n_bands: int = 64, per_band: int = 32,
+                            f_hi: float = 1024.0):
+    """Long-duration BNS training batch, ENTIRELY in the frequency domain —
+    the long time series is never materialized (the point of the
+    multibanded design).
+
+    Returns (tokens [B, L, 6], theta [B, 11] physical). Whitened FD noise
+    per rfft bin is complex with E|n|² = 2 in the framework's whitened
+    normalization (independent of duration)."""
+    import numpy as np
+    from posteriflow_tpu.physics.constants import SAMPLE_RATE
+    from posteriflow_tpu.physics.psd import default_network_psd
+    from posteriflow_tpu.physics.projection import project_to_network
+    from posteriflow_tpu.physics.waveforms.taylorf2 import \
+        taylorf2_polarizations
+    from posteriflow_tpu.physics.whiten import whiten_fd
+    from posteriflow_tpu.prior import PriorConfig, sample_signal_params
+
+    n = int(duration * SAMPLE_RATE)
+    freqs_np = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
+    # band-limit the grid to f_hi (BNS embedding band) — keeps the FD
+    # arrays ~16x smaller than the full Nyquist grid
+    cut = int(np.searchsorted(freqs_np, f_hi)) + 1
+    freqs_np = freqs_np[:cut]
+    freqs = jnp.asarray(freqs_np, dtype=jnp.float32)
+    psd = default_network_psd(freqs_np)
+    asd = jnp.asarray(np.sqrt(psd) * 1e23, dtype=jnp.float32)  # scaled units
+    delta_f = 1.0 / duration
+
+    bns_prior = PriorConfig(type_probs=(0.0, 1.0, 0.0))
+
+    def one(k):
+        k_t, k_n = jax.random.split(k)
+        theta = sample_signal_params(k_t, bns_prior)
+        (m1, m2, d, ra, dec, tj, psi_a, ph, t_off, a1, a2) = theta
+        hp, hc = taylorf2_polarizations(freqs, m1, m2, a1, a2, d, tj, ph)
+        h_det = project_to_network(freqs, hp, hc, ra, dec, psi_a, t_off,
+                                   duration=duration)
+        h_w = whiten_fd(h_det, asd, delta_f)
+        kr, ki = jax.random.split(k_n)
+        noise = (jax.random.normal(kr, h_w.shape)
+                 + 1j * jax.random.normal(ki, h_w.shape))
+        tok = multiband_tokens(h_w + noise, freqs_np, n_bands=n_bands,
+                               per_band=per_band, f_hi=f_hi)
+        return tok, theta
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
+class LongBNSNPE(nn.Module):
+    """Multiband front-end + (optionally sequence-parallel) transformer +
+    the framework's coupling flow — the configs[3] model assembly."""
+    enc: dict = None
+    flow_layers: int = 6
+    flow_hidden: int = 128
+    flow_bins: int = 8
+
+    def setup(self):
+        from posteriflow_tpu.models.flow import CouplingNSF
+        cfg = self.enc or {}
+        self.encoder = LongBNSEncoder(seq_axis=None, **cfg)
+        ctx = cfg.get("context_dim", 256)
+        self.flow = CouplingNSF(features=11, context_features=ctx,
+                                num_layers=self.flow_layers,
+                                hidden=self.flow_hidden,
+                                num_bins=self.flow_bins)
+        from posteriflow_tpu.scaler import ParamScaler
+        self.scaler = ParamScaler()
+
+    def __call__(self, tokens: jnp.ndarray, theta: jnp.ndarray):
+        """tokens [B, L, F]; theta [B, 11] physical -> mean NLL."""
+        pos = sinusoidal_positions(tokens.shape[1],
+                                   self.encoder.d_model)
+        ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
+        y = self.scaler.normalize(theta)
+        return -jnp.mean(self.flow.log_prob(y, ctx))
+
+
+def make_sharded_encoder(mesh: Mesh, seq_len: int, n_feat: int,
+                         cfg: Optional[dict] = None):
+    """Build (init_fn, apply_fn) for the sequence-parallel encoder.
+
+    apply_fn(params, tokens [B, L, n_feat]) -> [B, context_dim], with L
+    sharded over the mesh's "model" axis and B over "data". Exact: matches
+    the unsharded module output (tested on the 8-device CPU mesh)."""
+    cfg = cfg or {}
+    module = LongBNSEncoder(seq_axis="model", **cfg)
+    ref_module = LongBNSEncoder(seq_axis=None, **cfg)
+    pos = sinusoidal_positions(seq_len, module.d_model)
+
+    def init_fn(key, tokens_local):
+        return ref_module.init(key, tokens_local,
+                               pos[: tokens_local.shape[0]])
+
+    n_shards = mesh.shape["model"]
+    l_loc = seq_len // n_shards
+
+    def one_event(params, tokens_loc):
+        # positions for THIS shard's slice of the sequence
+        idx = jax.lax.axis_index("model")
+        pos_loc = jax.lax.dynamic_slice(pos, (idx * l_loc, 0),
+                                        (l_loc, pos.shape[1]))
+        return module.apply(params, tokens_loc, pos_loc)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("data", "model", None)),
+             out_specs=P("data"))
+    def apply_sharded(params, tokens):
+        out = jax.vmap(lambda t: one_event(params, t))(tokens)
+        return out
+
+    def apply_fn(params, tokens):
+        tokens = jax.device_put(tokens, NamedSharding(
+            mesh, P("data", "model", None)))
+        return apply_sharded(params, tokens)
+
+    def apply_unsharded(params, tokens):
+        return jax.vmap(lambda t: ref_module.apply(
+            params, t, pos[: tokens.shape[1]]))(tokens)
+
+    return init_fn, apply_fn, apply_unsharded

@@ -26,7 +26,8 @@ GMST_REF = gmst_from_gps(GPS_REF)
 
 def project_to_network(freqs: jnp.ndarray, h_plus: jnp.ndarray,
                        h_cross: jnp.ndarray, ra, dec, psi, t_off,
-                       gmst_ref: float = GMST_REF) -> jnp.ndarray:
+                       gmst_ref: float = GMST_REF,
+                       duration: float = DURATION) -> jnp.ndarray:
     """FD polarizations [F] -> per-detector FD strain [n_det, F] complex64.
 
     Scalar extrinsics (vmap for batches). The sidereal time is evaluated at
@@ -40,7 +41,7 @@ def project_to_network(freqs: jnp.ndarray, h_plus: jnp.ndarray,
     h = (f_plus[:, None] * h_plus[None, :]
          + f_cross[:, None] * h_cross[None, :])                 # [n_det, F]
 
-    tau = (DURATION / 2.0 + t_off + dt).astype(jnp.float32)     # [n_det]
+    tau = (duration / 2.0 + t_off + dt).astype(jnp.float32)     # [n_det]
     # e^{-2πifτ}: delay under the h(t)=∫h̃e^{+2πift}df convention. Computed
     # via mod-1 cycles to keep float32 phase error ≪ a radian at 2 kHz.
     cycles = jnp.mod(freqs[None, :] * tau[:, None], 1.0)
