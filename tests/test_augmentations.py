@@ -75,3 +75,36 @@ def test_cosmology_roundtrip_and_known_values():
     assert float(chi_eff(30.0, 20.0, 0.5, -0.2)) == pytest.approx(0.22)
     assert float(chirp_mass(30.0, 30.0)) == pytest.approx(26.12, rel=1e-3)
     assert float(mass_ratio(30.0, 15.0)) == pytest.approx(0.5)
+
+
+def test_group_mean_loss():
+    from posteriflow_tpu.utils.noise_marginalization import (
+        group_mean_loss, repeat_params_k_noise)
+    losses = jnp.asarray([1.0, 3.0, 10.0])       # groups: [0, 0, 1]
+    gids = jnp.asarray([0, 0, 1])
+    # group means: 2.0 and 10.0 -> 6.0 (NOT the flat mean 4.67)
+    out = float(group_mean_loss(losses, gids, 2))
+    assert out == pytest.approx(6.0)
+    rep, g, keys = repeat_params_k_noise(jax.random.PRNGKey(0),
+                                         jnp.ones((4, 11)), 3)
+    assert rep.shape == (12, 11) and g.shape == (12,)
+    assert (np.asarray(g) == np.repeat(np.arange(4), 3)).all()
+
+
+def test_lightweight_transformer_encoder():
+    from posteriflow_tpu.models.transformer_encoder import (
+        LightweightTransformerEncoder)
+    enc = LightweightTransformerEncoder(patch=256, d_model=32, n_layers=1,
+                                        n_heads=4, out_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16384))
+    p = enc.init(jax.random.PRNGKey(1), x)
+    out = enc.apply(p, x)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pretrained_audio_encoder_gated():
+    from posteriflow_tpu.models.transformer_encoder import (
+        PretrainedAudioEncoder)
+    with pytest.raises(RuntimeError, match="locally cached"):
+        PretrainedAudioEncoder()
