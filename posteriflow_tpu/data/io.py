@@ -117,3 +117,42 @@ class MetadataManager:
     def read(self) -> dict:
         return json.loads(self.path.read_text()) if self.path.exists() \
             else {}
+
+
+def validate_dataset(path: str | Path, max_events: int = 2048) -> dict:
+    """Post-hoc dataset validation: integrity, distributions, SNR gate
+    (reference analog: src/ahsd/data/scripts/validate_dataset.py)."""
+    r = DatasetReader(path)
+    issues = []
+    n = min(r.n_events, max_events)
+    strain = r.read("strain", 0, n).astype(np.float32)
+    params = r.read("params", 0, n)
+    n_sig = r.read("n_sig", 0, n)
+    sig_snr = r.read("sig_snr", 0, n)
+
+    if not np.isfinite(strain).all():
+        issues.append("non-finite strain")
+    std = strain.std(axis=(1, 2))
+    if not ((std > 0.8) & (std < 3.0)).all():
+        issues.append(f"whitened std out of range: "
+                      f"[{std.min():.2f}, {std.max():.2f}]")
+    live = np.arange(params.shape[1])[None, :] < n_sig[:, None]
+    if live.any():
+        m1, m2 = params[..., 0][live], params[..., 1][live]
+        if (m1 < m2 - 1e-5).any():
+            issues.append("mass ordering violated")
+        if (sig_snr[live] < 8.0 - 1e-3).any():
+            issues.append(f"SNR gate violated: min {sig_snr[live].min():.2f}")
+        d = params[..., 2][live]
+        if d.min() < 5.0 or d.max() > 2200.0:
+            issues.append(f"distance outside prior: [{d.min()}, {d.max()}]")
+    frac_overlap = float((n_sig >= 2).mean())
+    frac_noise = float((n_sig == 0).mean())
+    report = {
+        "valid": not issues, "issues": issues, "n_checked": int(n),
+        "frac_overlap": frac_overlap, "frac_noise_only": frac_noise,
+        "mean_strain_std": float(std.mean()),
+        "mean_live_snr": float(sig_snr[live].mean()) if live.any() else None,
+    }
+    r.close()
+    return report

@@ -137,3 +137,48 @@ def test_output_calibrator_modes():
         cal = OutputCalibrator().fit(s, t, mode=mode)
         err = np.abs(cal(s) - t).mean()
         assert err < 0.5, (mode, err)
+
+
+def test_pod_batched_decompose():
+    """Pod-scale subtract-and-reinfer: batched stages run, gates mask."""
+    from posteriflow_tpu.core.pod import make_batched_decompose
+    from posteriflow_tpu.models.npe import NPEConfig
+    from posteriflow_tpu.physics.simulator import SimConfig, simulate_batch
+    from posteriflow_tpu.prior import PriorConfig
+    from posteriflow_tpu.train.trainer import TrainConfig, init_state
+
+    cfg = TrainConfig(
+        npe=NPEConfig(context_dim=32, rank_dim=8, flow_layers=2,
+                      flow_hidden=32, flow_bins=4, encoder_type="conv",
+                      d_model=32, enc_layers=1, enc_heads=4),
+        sim=SimConfig(prior=PriorConfig(max_signals=2)))
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    batch = jax.jit(lambda k: simulate_batch(k, 4, cfg.sim))(
+        jax.random.PRNGKey(1))
+    decompose = make_batched_decompose(cfg, n_samples=64, max_stages=2,
+                                       n_template_draws=16)
+    out = decompose(state.params, batch.strain, batch.asd_bands,
+                    jax.random.PRNGKey(2))
+    assert out["median"].shape == (4, 2, 11)
+    assert out["n_extracted"].shape == (4,)
+    assert np.isfinite(np.asarray(out["final_residual"])).all()
+    # untrained model -> low quality -> gate stops extraction quickly
+    assert (np.asarray(out["n_extracted"]) <= 2).all()
+
+
+def test_validate_dataset(tmp_path):
+    import jax as _jax
+    from posteriflow_tpu.data.io import DatasetWriter, validate_dataset
+    from posteriflow_tpu.physics.simulator import SimConfig, simulate_batch
+    b = _jax.jit(lambda k: simulate_batch(k, 32, SimConfig()))(
+        _jax.random.PRNGKey(0))
+    with DatasetWriter(tmp_path / "d.h5") as w:
+        w.append_batch({
+            "strain": np.asarray(b.strain, dtype=np.float16),
+            "params": np.asarray(b.params),
+            "n_sig": np.asarray(b.n_sig, dtype=np.int32),
+            "net_snr": np.asarray(b.net_snr),
+            "sig_snr": np.asarray(b.sig_snr)})
+    rep = validate_dataset(tmp_path / "d.h5")
+    assert rep["valid"], rep["issues"]
+    assert rep["n_checked"] == 32
