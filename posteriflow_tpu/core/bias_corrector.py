@@ -10,10 +10,9 @@ scaler's ±1 box), trainable against simulator-ground-truth bias pairs.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,12 +12,8 @@ B events/stage scale linearly with chips.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from posteriflow_tpu.models.npe import LeanNPE
 from posteriflow_tpu.physics.constants import N_SAMPLES

@@ -9,7 +9,7 @@ few vmapped lines instead of a 500-line torch module.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

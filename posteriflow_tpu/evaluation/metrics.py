@@ -8,8 +8,6 @@ comparison. Numpy host-side — evaluation is offline.
 
 from __future__ import annotations
 
-import dataclasses
-import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -30,7 +30,6 @@ from posteriflow_tpu.physics.constants import N_SAMPLES
 from posteriflow_tpu.physics.psd import default_network_asd
 from posteriflow_tpu.physics.simulator import signal_white_fd
 from posteriflow_tpu.prior import log_prior_bbh
-from posteriflow_tpu.scaler import ParamScaler
 
 
 def data_white_fd(strain_white_td: jnp.ndarray) -> jnp.ndarray:

@@ -16,7 +16,6 @@ one device dispatch; throughput is bench.py's headline metric.
 from __future__ import annotations
 
 import time
-from functools import lru_cache
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -24,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from posteriflow_tpu import PARAM_NAMES
 from posteriflow_tpu.inference.gating import refinement_gate
 from posteriflow_tpu.inference.ood import (ContextStats, confidence_verdict,
                                            score_context)

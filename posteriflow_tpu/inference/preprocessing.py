@@ -27,9 +27,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from posteriflow_tpu.physics.constants import (DETECTORS, DURATION, FREQS,
-                                               GPS_REF, N_RFFT, N_SAMPLES,
-                                               SAMPLE_RATE, STRAIN_SCALE)
+from posteriflow_tpu.physics.constants import (DETECTORS, FREQS, GPS_REF,
+                                               N_SAMPLES, SAMPLE_RATE)
 from posteriflow_tpu.physics.psd import default_network_psd
 
 _DESIGN_ASD = np.sqrt(default_network_psd())          # [3, N_RFFT] physical

@@ -13,9 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from posteriflow_tpu.models.priority_net import (SEG_LEN, PriorityNet,
-                                                 loudness_fallback,
-                                                 physics_features,
-                                                 rank_by_score)
+                                                 loudness_fallback)
 from posteriflow_tpu.physics.constants import DURATION, SAMPLE_RATE
 
 

@@ -22,10 +22,7 @@ sanitizes non-finite outputs and the scaler's wrap/clamp bounds the result.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,11 +23,9 @@ semantics, priority_net.py:358-538).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 SEG_LEN = 2048          # 0.5 s strain segment around each candidate merger

@@ -17,8 +17,6 @@ models/encoder.py; this family exists for parity and ablations:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -28,10 +28,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from posteriflow_tpu import N_PARAMS
-from posteriflow_tpu.physics.constants import (F_LOWER, FREQS, N_DETECTORS,
-                                               N_RFFT, N_SAMPLES)
-from posteriflow_tpu.physics.projection import GMST_REF, project_to_network
+from posteriflow_tpu.physics.constants import (F_LOWER, FREQS,
+                                               N_DETECTORS, N_SAMPLES)
+from posteriflow_tpu.physics.projection import project_to_network
 from posteriflow_tpu.physics.psd import default_network_asd
 from posteriflow_tpu.physics.waveforms.imr import imr_polarizations
 from posteriflow_tpu.physics.whiten import fd_white_to_td, whiten_fd

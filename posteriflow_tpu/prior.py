@@ -24,7 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from posteriflow_tpu import N_PARAMS, PARAM_NAMES
+from posteriflow_tpu import PARAM_NAMES
 
 # Event-type codes (fixed order everywhere)
 BBH, BNS, NSBH = 0, 1, 2

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -39,12 +39,24 @@ def _cfg_to_dict(cfg: TrainConfig) -> dict:
     return enc(cfg)
 
 
+def _retuple(cls, kwargs: dict) -> dict:
+    """JSON round-trips tuples as lists; coerce back every field whose
+    dataclass default is a tuple (so equality survives save/restore)."""
+    out = dict(kwargs)
+    for f in dataclasses.fields(cls):
+        if f.name in out and isinstance(out[f.name], list):
+            default = (f.default if f.default is not dataclasses.MISSING
+                       else None)
+            if isinstance(default, tuple):
+                out[f.name] = tuple(out[f.name])
+    return out
+
+
 def cfg_from_dict(d: dict) -> TrainConfig:
-    npe = dict(d["npe"])
-    npe["param_names"] = tuple(npe["param_names"])
+    npe = _retuple(NPEConfig, d["npe"])
     sim = dict(d["sim"])
-    sim["prior"] = PriorConfig(**{**sim["prior"],
-                                  "type_probs": tuple(sim["prior"]["type_probs"])})
+    sim["prior"] = PriorConfig(**_retuple(PriorConfig, sim["prior"]))
+    sim = _retuple(SimConfig, sim)
     rest = {k: v for k, v in d.items() if k not in ("npe", "sim")}
     return TrainConfig(npe=NPEConfig(**npe), sim=SimConfig(**sim), **rest)
 

@@ -12,8 +12,6 @@ answering every epoch: is the flow actually conditioning on the data?
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

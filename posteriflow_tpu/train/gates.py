@@ -16,8 +16,6 @@ Device side (jitted): railing fraction, base concentration, coverage
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from posteriflow_tpu.models.priority_net import (SEG_LEN, PriorityNet,

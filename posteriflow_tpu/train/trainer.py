@@ -22,9 +22,6 @@ gradients over ICI.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -9,7 +9,6 @@ verbatim into checkpoints, with YAML and dot-access convenience on top.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Any
 

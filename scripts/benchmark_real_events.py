@@ -16,7 +16,6 @@ Usage:
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -39,7 +38,6 @@ def main(argv=None):
     from posteriflow_tpu.utils.logging import setup_logging
     log = setup_logging()
 
-    import numpy as np
     from posteriflow_tpu.data.gwtc import GWTCLoader
     from posteriflow_tpu.inference import (load_model, prepare_real,
                                            prepare_simulated)

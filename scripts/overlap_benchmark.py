@@ -40,8 +40,8 @@ def main(argv=None):
     import jax
     import numpy as np
     from posteriflow_tpu import PARAM_NAMES
-    from posteriflow_tpu.inference import (infer, infer_overlapping,
-                                           load_model, prepare_simulated,
+    from posteriflow_tpu.inference import (infer_overlapping, load_model,
+                                           prepare_simulated,
                                            rank_overlapping)
     from posteriflow_tpu.prior import sample_signal_params, loudness
 

@@ -34,10 +34,8 @@ def main(argv=None):
 
     import dataclasses
     import jax
-    import numpy as np
     from posteriflow_tpu.data.noise_bank import (load_noise_bank,
                                                  make_synthetic_bank)
-    from posteriflow_tpu.inference.pipeline import InferenceEngine
     from posteriflow_tpu.physics.simulator import simulate_batch
     from posteriflow_tpu.train.checkpoints import CheckpointManager
     from posteriflow_tpu.train.diagnostics import make_diagnostics

@@ -61,7 +61,6 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        import jax
         from posteriflow_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
         log.info("mesh: %s", mesh)

@@ -62,11 +62,9 @@ def main(argv=None):
     log = setup_logging()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from posteriflow_tpu import PARAM_NAMES
-    from posteriflow_tpu.inference import (fit_context_stats, infer,
-                                           prepare_simulated)
+    from posteriflow_tpu.inference import fit_context_stats, infer
     from posteriflow_tpu.inference.pipeline import InferenceEngine
     from posteriflow_tpu.physics.simulator import simulate_batch
     from posteriflow_tpu.train.diagnostics import make_diagnostics
