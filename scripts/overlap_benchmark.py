@@ -50,7 +50,7 @@ def main(argv=None):
 
     def draw_params(i, t_off):
         k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        p = np.asarray(sample_signal_params(k))
+        p = np.array(sample_signal_params(k))    # copy: jax arrays are RO
         p[8] = t_off
         return dict(zip(PARAM_NAMES, map(float, p)))
 
