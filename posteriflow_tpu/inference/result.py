@@ -164,6 +164,24 @@ class PosteriorResult:
         out = dataclasses.replace(self, weights=w)
         return out, ess
 
+    def to_bilby(self, label: str = "posteriflow_tpu"):
+        """Export as a bilby Result with ABSOLUTE-GPS geocent_time
+        (reference: result.py:148-179). Gated: bilby is optional."""
+        try:
+            import bilby
+            import pandas as pd
+        except ImportError as e:
+            raise ImportError("to_bilby() needs bilby (+pandas); use "
+                              "save() for the native export") from e
+        from posteriflow_tpu.physics.constants import GPS_REF
+        df = pd.DataFrame(self.samples, columns=list(self.param_names))
+        df["geocent_time"] = df["geocent_time"] + (self.gps_time or GPS_REF)
+        if self.log_prob is not None:
+            df["log_likelihood"] = self.log_prob
+        return bilby.result.Result(
+            label=label, posterior=df,
+            search_parameter_keys=list(self.param_names))
+
     # ── persistence with reproducibility record ──────────────────────────────
     def save(self, outdir: str | Path):
         outdir = Path(outdir)
