@@ -7,6 +7,7 @@ merger -> PriorityNet scores (or the proxy fallback) -> candidate order.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -32,16 +33,38 @@ def extract_segments(strain: np.ndarray, t_offs: np.ndarray) -> np.ndarray:
     return out
 
 
+_DEFAULT_NET = None
+_DEFAULT_NET_PATH = Path("model/priority_v1/priority_params.msgpack")
+
+
+def _default_priority_net():
+    """Lazily load the repo's trained PriorityNet when present (reference
+    load_priority_net default-checkpoint behavior)."""
+    global _DEFAULT_NET
+    if _DEFAULT_NET is None and _DEFAULT_NET_PATH.exists():
+        from posteriflow_tpu.train.train_priority import load_priority_net
+        _DEFAULT_NET = load_priority_net(_DEFAULT_NET_PATH)
+    return _DEFAULT_NET
+
+
 def rank_overlapping(results: List, strain: np.ndarray,
                      priority_params=None,
-                     priority_model: Optional[PriorityNet] = None):
+                     priority_model: Optional[PriorityNet] = None,
+                     use_default_net: bool = True):
     """results: per-rank PosteriorResults; strain: [3, T] whitened.
 
     Returns (order, scores): order[i] = index into `results` of the i-th
-    highest-priority candidate."""
+    highest-priority candidate. Uses, in order: an explicitly passed
+    PriorityNet, the repo-trained default (model/priority_v1) when
+    present, else the loudness-proxy fallback."""
     medians = np.stack([r.median() for r in results])        # [n, 11]
     segs = extract_segments(strain, medians[:, 8])
     mask = jnp.ones((1, len(results)))
+
+    if priority_model is None and use_default_net:
+        loaded = _default_priority_net()
+        if loaded is not None:
+            priority_model, priority_params = loaded
 
     if priority_model is not None and priority_params is not None:
         scores, _sigma = priority_model.apply(
