@@ -96,6 +96,20 @@ class CheckpointManager:
         state = self._ckpt.restore(self.root / name / "state", target=target)
         return state, cfg, meta
 
+    @staticmethod
+    def load_release(release_dir: str | Path):
+        """Load a git-committed release export (params.msgpack + meta.json
+        written by the round logs) -> (params, cfg, meta). Rebuilds the
+        param pytree structure from the stored config."""
+        from flax.serialization import from_bytes
+        release_dir = Path(release_dir)
+        meta = json.loads((release_dir / "meta.json").read_text())
+        cfg = cfg_from_dict(meta["config"])
+        target = init_state(jax.random.PRNGKey(0), cfg)
+        params = from_bytes(target.params,
+                            (release_dir / "params.msgpack").read_bytes())
+        return params, cfg, meta
+
     def fine_tune_restore(self, name: str, new_cfg: TrainConfig):
         """Weights from the checkpoint, FRESH optimizer/schedule under
         new_cfg (reference --init_from: train_lean_npe.py:290-297)."""
