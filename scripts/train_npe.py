@@ -39,6 +39,14 @@ def main(argv=None):
     from posteriflow_tpu.utils.logging import setup_logging, jax_trace
     log = setup_logging()
 
+    # persistent compilation cache: the coherent-encoder forward alone takes
+    # ~6.5 min to (remote-)compile on the tunneled TPU; cache across runs
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax-train")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     import dataclasses
     from posteriflow_tpu.train.trainer import TrainConfig
     from posteriflow_tpu.utils.config import load_config
