@@ -182,3 +182,36 @@ def test_validate_dataset(tmp_path):
     rep = validate_dataset(tmp_path / "d.h5")
     assert rep["valid"], rep["issues"]
     assert rep["n_checked"] == 32
+
+
+def test_pod_decompose_sharded_matches_unsharded():
+    """The mesh-sharded pod decompose equals the single-device program."""
+    from posteriflow_tpu.core.pod import make_batched_decompose
+    from posteriflow_tpu.models.npe import NPEConfig
+    from posteriflow_tpu.parallel.mesh import make_mesh
+    from posteriflow_tpu.physics.simulator import SimConfig, simulate_batch
+    from posteriflow_tpu.prior import PriorConfig
+    from posteriflow_tpu.train.trainer import TrainConfig, init_state
+
+    cfg = TrainConfig(
+        npe=NPEConfig(context_dim=32, rank_dim=8, flow_layers=2,
+                      flow_hidden=32, flow_bins=4, encoder_type="conv",
+                      d_model=32, enc_layers=1, enc_heads=4),
+        sim=SimConfig(prior=PriorConfig(max_signals=2)))
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    batch = jax.jit(lambda k: simulate_batch(k, 8, cfg.sim))(
+        jax.random.PRNGKey(1))
+    plain = make_batched_decompose(cfg, n_samples=32, max_stages=2,
+                                   n_template_draws=8)
+    mesh = make_mesh(8)
+    sharded = make_batched_decompose(cfg, n_samples=32, max_stages=2,
+                                     n_template_draws=8, mesh=mesh)
+    o1 = plain(state.params, batch.strain, batch.asd_bands,
+               jax.random.PRNGKey(2))
+    o2 = sharded(state.params, batch.strain, batch.asd_bands,
+                 jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(o1["median"]),
+                               np.asarray(o2["median"]), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(o1["n_extracted"]),
+                                  np.asarray(o2["n_extracted"]))
