@@ -129,6 +129,9 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
     cur_ll, cur_lp, cur_lq = ll, lp, lq
     beta = 0.0
     ladder = [0.0]
+    min_stage_ess = float(len(cur))     # honest ESS = ladder bottleneck
+                                        # (post-resample weights are flat,
+                                        # which would overstate it)
     for stage in range(max_stages):
         # bisect the largest β-step keeping per-rung ESS ≥ min_ess_frac
         lo, hi = beta, 1.0
@@ -142,12 +145,15 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
         new_beta = lo if lo > beta + 1e-6 else min(beta + 0.05, 1.0)
         lw = (new_beta - beta) * cur_ll + (cur_lp - cur_lq)
         w = _norm_w(lw)
+        min_stage_ess = min(min_stage_ess, float(1.0 / np.sum(w ** 2)))
         idx = _systematic_resample(w, rng)
         cur = cur[idx]
 
         if new_beta >= 1.0 - 1e-9:
             ladder.append(1.0)
             final = _finalize(cur, np.zeros(len(cur)))
+            final.ess = min_stage_ess
+            final.efficiency = min_stage_ess / len(cur)
             final.n_stages = stage + 2
             final.beta_ladder = ladder
             return final
@@ -163,6 +169,8 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
         ladder.append(beta)
 
     final = _finalize(cur, (1.0 - beta) * cur_ll + cur_lp - cur_lq)
+    final.ess = min(final.ess, min_stage_ess)
+    final.efficiency = final.ess / len(cur)
     final.n_stages = max_stages + 1
     final.beta_ladder = ladder
     return final
