@@ -108,3 +108,39 @@ def test_pretrained_audio_encoder_gated():
         PretrainedAudioEncoder)
     with pytest.raises(RuntimeError, match="locally cached"):
         PretrainedAudioEncoder()
+
+
+def test_simulate_batch_deterministic():
+    """Same key -> identical batch (reproducibility contract; the remix
+    analog is the seeded per-(epoch,item) RNG, remix_data.py:220)."""
+    cfg = SimConfig(prior=PriorConfig(max_signals=2))
+    f = jax.jit(lambda k: simulate_batch(k, 4, cfg))
+    b1 = f(jax.random.PRNGKey(9))
+    b2 = f(jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(b1.strain),
+                                  np.asarray(b2.strain))
+    np.testing.assert_array_equal(np.asarray(b1.params),
+                                  np.asarray(b2.params))
+
+
+def test_all_augmentations_together_train_step():
+    """premerger + mc_oversample + glitches + det dropout in ONE config
+    must still produce a finite training step (premerger scaler enabled)."""
+    from posteriflow_tpu.models.npe import NPEConfig
+    from posteriflow_tpu.train.trainer import (TrainConfig, init_state,
+                                               make_train_step)
+    cfg = TrainConfig(
+        npe=NPEConfig(context_dim=32, rank_dim=8, flow_layers=2,
+                      flow_hidden=32, flow_bins=4, encoder_type="conv",
+                      d_model=32, enc_layers=1, enc_heads=4,
+                      premerger=True),
+        sim=SimConfig(prior=PriorConfig(max_signals=2,
+                                        premerger_fraction=0.3,
+                                        mc_oversample=0.5),
+                      det_dropout=0.2, glitch_prob=0.3),
+        batch_size=8, warmup_steps=2, total_steps=10)
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    for i in range(3):
+        state, m = step(state, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["nll"])), (i, m)
