@@ -150,7 +150,8 @@ def _glitch_burst(key: jax.Array, prob: float,
 
 
 def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
-                   asd: jax.Array, cfg: SimConfig, bank=None):
+                   asd: jax.Array, cfg: SimConfig, bank=None,
+                   real_feed=None):
     """Assemble one whitened 3-detector training event.
 
     params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Optional
@@ -158,7 +159,9 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     probability cfg.real_noise_prob: the event's noise becomes a real
     crop, its signals are re-colored into that segment's whitening, and
     asd_bands reports the sensitivity summary (remix_data.py semantics).
-    Returns an EventBatch with no leading batch dim."""
+    `real_feed` = (noise [3,T], recolor [3,F], bands [3,K]) supplies the
+    crop externally (the host-side big-bank path, data/host_feed.py) —
+    takes precedence over `bank`. Returns an EventBatch (no batch dim)."""
     k_noise, k_drop, k_cfg, k_fill, k_real, k_use = jax.random.split(key, 6)
 
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
@@ -183,13 +186,20 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     fill = jax.random.normal(k_fill, (N_DETECTORS, N_SAMPLES))
     asd_bands = jnp.zeros((N_DETECTORS, cfg.psd_bands), dtype=jnp.float32)
 
-    if bank is not None and cfg.real_noise_prob > 0.0:
+    if (bank is not None or real_feed is not None) \
+            and cfg.real_noise_prob > 0.0:
         from posteriflow_tpu.data.noise_bank import (recolor_signal,
                                                      sample_real_noise)
         use_real = jax.random.uniform(k_use) < cfg.real_noise_prob
-        k_r1, k_r2 = jax.random.split(k_real)
-        r_noise, r_filt, r_bands = sample_real_noise(k_r1, bank)
-        r_fill, _, _ = sample_real_noise(k_r2, bank)   # dropout fill crop
+        if real_feed is not None:
+            r_noise, r_filt, r_bands = real_feed
+            # dropout fill: the same crop time-flipped+negated (the bank
+            # decorrelation trick) — the host feed ships one crop per event
+            r_fill = -r_noise[:, ::-1]
+        else:
+            k_r1, k_r2 = jax.random.split(k_real)
+            r_noise, r_filt, r_bands = sample_real_noise(k_r1, bank)
+            r_fill, _, _ = sample_real_noise(k_r2, bank)
         sig_recolored = recolor_signal(sig_td, r_filt)
         noise = jnp.where(use_real, r_noise, noise)
         fill = jnp.where(use_real, r_fill, fill)
@@ -214,15 +224,22 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
 
 def simulate_batch(key: jax.Array, batch_size: int,
                    cfg: SimConfig = SimConfig(),
-                   asd: jax.Array | None = None, bank=None) -> EventBatch:
+                   asd: jax.Array | None = None, bank=None,
+                   real_feed=None) -> EventBatch:
     """Synthesize a fresh training batch on-device. Fully jittable; the
     training step calls this inside jit so data generation fuses with the
-    forward/backward pass (SURVEY.md §7 design stance)."""
+    forward/backward pass (SURVEY.md §7 design stance). real_feed:
+    per-event (noise [B,3,T], recolor [B,3,F], bands [B,3,K]) from
+    data/host_feed.py."""
     if asd is None:
         asd = default_network_asd()
     k_prior, k_sim = jax.random.split(key)
     params, n_sig = sample_batch(k_prior, batch_size, cfg.prior)
     keys = jax.random.split(k_sim, batch_size)
+    if real_feed is not None:
+        return jax.vmap(lambda k, p, n, rn, rf, rb: simulate_event(
+            k, p, n, asd, cfg, None, (rn, rf, rb)))(
+            keys, params, n_sig, *real_feed)
     return jax.vmap(lambda k, p, n: simulate_event(k, p, n, asd, cfg,
                                                    bank))(
         keys, params, n_sig)
