@@ -39,6 +39,7 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         steps_per_epoch: int = 200, seed: int = 0, mesh=None,
         gate: CalibrationGate = CalibrationGate(), ckpt_every: int = 0,
         n_val_events: int = 256, init_from: Optional[str] = None,
+        resume_from: Optional[str] = None,
         val_batch_fn: Optional[Callable] = None, bank=None,
         on_epoch_end: Optional[Callable[[dict], None]] = None):
     """Train LeanNPE; returns (best_state, history).
@@ -59,7 +60,17 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     k_init, k_val, k_diag, key = jax.random.split(key, 4)
 
     state = init_state(k_init, cfg)
-    if init_from:
+    if resume_from:
+        # TRUE resume: full TrainState (params + optimizer + schedule step)
+        # — no LR-restart penalty. The config must match the checkpoint's.
+        state, ck_cfg, meta = CheckpointManager(
+            Path(resume_from).parent).restore(Path(resume_from).name)
+        if ck_cfg != cfg:
+            log.warning("resume config differs from checkpoint config; "
+                        "optimizer state assumed layout-compatible")
+        log.info("resuming from %s (epoch %s, step %s)", resume_from,
+                 meta.get("epoch"), int(state.step))
+    elif init_from:
         state, meta = CheckpointManager(Path(init_from).parent) \
             .fine_tune_restore(Path(init_from).name, cfg)
         log.info("fine-tuning from %s (epoch %s)", init_from,

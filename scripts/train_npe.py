@@ -29,7 +29,11 @@ def main(argv=None):
     ap.add_argument("--psd-cond", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ckpt-every", type=int, default=0)
-    ap.add_argument("--init-from", default=None)
+    ap.add_argument("--init-from", default=None,
+                    help="load weights, FRESH optimizer (fine-tune)")
+    ap.add_argument("--resume-from", default=None,
+                    help="restore the FULL TrainState (params + optimizer "
+                         "+ schedule) — true continuation, no LR restart")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
     ap.add_argument("--profile-dir", default=None,
@@ -79,7 +83,8 @@ def main(argv=None):
                              steps_per_epoch=args.steps_per_epoch,
                              seed=args.seed, mesh=mesh,
                              ckpt_every=args.ckpt_every,
-                             init_from=args.init_from)
+                             init_from=args.init_from,
+                             resume_from=args.resume_from)
     return history
 
 
