@@ -79,7 +79,10 @@ def symmetrized_log_q(engine, context: jnp.ndarray, rank: int,
 
     swapped = theta.at[:, 0].set(theta[:, 1]).at[:, 1].set(theta[:, 0])
     lq = jnp.stack([log_q_phys(theta), log_q_phys(swapped)])
-    return jax.scipy.special.logsumexp(lq, axis=0) - jnp.log(2.0)
+    # SUM, not average: pipeline folds samples into m1 >= m2 by swapping,
+    # and the density of the folded variable is q(m1,m2) + q(m2,m1)
+    # (matches the reference's unaveraged convention, importance.py:69-95).
+    return jax.scipy.special.logsumexp(lq, axis=0)
 
 
 @dataclasses.dataclass
@@ -92,6 +95,7 @@ class ISResult:
     log_evidence_ratio: float    # log Z/L(0) estimate
     n_stages: int = 1
     beta_ladder: Optional[list] = None
+    converged: bool = True       # tempered ladder reached beta = 1
 
 
 def importance_correct(engine, context: jnp.ndarray, rank: int,
@@ -99,13 +103,26 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
                        railed: np.ndarray, log_l_fn: Callable,
                        log_prior_fn: Callable = None,
                        min_ess_frac: float = 0.2,
+                       ladder_target_frac: float = 0.2,
                        max_stages: int = 25,
                        seed: int = 0) -> ISResult:
     """Exact correction of amortized samples against the true likelihood.
 
     Direct self-normalized IS first; if ESS/n < min_ess_frac, fall back to
-    the adaptive tempered β-ladder with GMM rejuvenation in the slow
-    (log-mass / log-distance) space (reference: importance.py:204-328).
+    an adaptive tempered ladder (reference: importance.py:204-328): a
+    geometric path between a GMM surrogate of the proposal (the anchor g0)
+    and the target L·π,
+
+        target_β(θ) ∝ g0(θ)^(1−β) · [L(θ)·π(θ)]^β,
+
+    where every stage's particle density g_s is known EXACTLY — the flow's
+    symmetrized density at stage 0, the (symmetrized, Jacobian-corrected)
+    stage GMM afterwards — so the final rung at β = 1 is plain
+    self-normalized IS against a known mixture: asymptotically exact, with
+    a real evidence estimate. (Round-1 bug fixed: the old ladder set the
+    post-rejuvenation proposal density to 0 and returned flat final
+    weights, double-counting the prior per rung and yielding degenerate
+    efficiency = 1.0 / logZ = 0 diagnostics.)
     """
     if log_prior_fn is None:
         log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
@@ -123,62 +140,212 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
     if res.ess / len(theta) >= min_ess_frac:
         return res
 
-    # ── tempered fallback ─────────────────────────────────────────────────────
+    return _tempered_is(np.asarray(theta, np.float64), lq.astype(np.float64),
+                        ll.astype(np.float64), lp.astype(np.float64),
+                        log_l_fn, log_prior_fn,
+                        ladder_target_frac=ladder_target_frac,
+                        max_stages=max_stages, seed=seed)
+
+
+def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
+                 lp: np.ndarray, log_l_fn: Callable, log_prior_fn: Callable,
+                 ladder_target_frac: float = 0.2, max_stages: int = 25,
+                 prior_sampler: Callable = None, prior_mix: float = 0.3,
+                 seed: int = 0) -> ISResult:
+    """Adaptive tempered ladder with per-stage re-anchoring (the
+    importance_correct fallback; separable for direct testing against a
+    synthetic likelihood).
+
+    Each stage s anchors the geometric path at its OWN proposal g_s, whose
+    density is exactly known (the flow's symmetrized density at stage 0, a
+    defensive mixture afterwards), and takes the largest tempering step
+        log w(γ) = γ·[log(L·π) − log g_s]
+    whose ESS stays above target. γ = 1 means w = L·π/g_s — plain
+    self-normalized IS against a known density: asymptotically exact, with
+    a real evidence estimate. Re-anchoring beats the reference's fixed
+    anchor when the posterior sits in the initial proposal's far tail (the
+    fixed-anchor intermediate targets g0^(1−β)(Lπ)^β then never overlap
+    the particle cloud and the ladder stalls); each rung here is still
+    exact for its own target, so the scheme stays exact.
+
+    Rejuvenation proposals are DEFENSIVE mixtures
+        g_s = (1 − prior_mix)·GMM_trunc + prior_mix·π :
+    the tempered target carries the full prior factor, and a plain GMM
+    under-covers the parameters the posterior leaves flat (its Gaussian
+    tails vs their uniform prior), collapsing ESS as γ → 1. The prior
+    component bounds the weights, and the mixture density stays exactly
+    known — exactness is preserved. (Round-1 bug fixed here: the old
+    ladder set the post-rejuvenation proposal density to 0 and returned
+    flat final weights — degenerate efficiency = 1.0 / logZ = 0.)
+    """
+    from sklearn.mixture import GaussianMixture
+    from sklearn.mixture._gaussian_mixture import _compute_precision_cholesky
+
+    if prior_sampler is None:
+        from posteriflow_tpu.prior import sample_prior_bbh
+        prior_sampler = sample_prior_bbh
     rng = np.random.default_rng(seed)
-    cur = np.asarray(theta)
-    cur_ll, cur_lp, cur_lq = ll, lp, lq
-    beta = 0.0
-    ladder = [0.0]
-    min_stage_ess = float(len(cur))     # honest ESS = ladder bottleneck
-                                        # (post-resample weights are flat,
-                                        # which would overstate it)
+    # rejuvenation stages may carry MORE particles than the input cloud:
+    # the GMM fit quality (hence the reachable per-rung ESS) is limited by
+    # particle count, and the likelihood is one vmapped JAX batch — cheap
+    n = max(len(theta), 4096)
+    cur = theta
+    cur_ll, cur_lp = ll, lp
+    cur_lg = lq                                # exact stage-proposal density
+    ladder = []
+    log_w = None
+    converged = False
+
     for stage in range(max_stages):
-        # bisect the largest β-step keeping per-rung ESS ≥ min_ess_frac
-        lo, hi = beta, 1.0
-        for _ in range(30):
-            mid = 0.5 * (lo + hi)
-            lw = (mid - beta) * cur_ll + (cur_lp - cur_lq)
-            if _ess(lw) / len(cur) >= min_ess_frac:
-                lo = mid
-            else:
-                hi = mid
-        new_beta = lo if lo > beta + 1e-6 else min(beta + 0.05, 1.0)
-        lw = (new_beta - beta) * cur_ll + (cur_lp - cur_lq)
-        w = _norm_w(lw)
-        min_stage_ess = min(min_stage_ess, float(1.0 / np.sum(w ** 2)))
+        delta = cur_ll + cur_lp - cur_lg       # log(L·π / g_s)
+        gamma = _pick_gamma(delta, ladder_target_frac)
+        ladder.append(round(gamma, 4))
+        log_w = gamma * delta
+        log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
+        if gamma >= 1.0 - 1e-9:
+            converged = True
+            break
+        # rejuvenate: refit a mixture on the tempered target, redraw, and
+        # TRACK its exact density as the next stage's proposal
+        w = _norm_w(log_w)
         idx = _systematic_resample(w, rng)
-        cur = cur[idx]
-
-        if new_beta >= 1.0 - 1e-9:
-            ladder.append(1.0)
-            final = _finalize(cur, np.zeros(len(cur)))
-            final.ess = min_stage_ess
-            final.efficiency = min_stage_ess / len(cur)
-            final.n_stages = stage + 2
-            final.beta_ladder = ladder
-            return final
-
-        # GMM rejuvenation in slow space (log m1, log m2, log d) with the
-        # reference's ×1.3 widening of component covariances
-        cur = _gmm_rejuvenate(cur, rng)
+        xs = _to_slow(cur[idx])
+        xs = xs + rng.standard_normal(xs.shape) * (
+            xs.std(0, keepdims=True) * 0.05 + 1e-6)
+        gm = GaussianMixture(
+            n_components=min(10, max(2, len(np.unique(idx)) // 30)),
+            covariance_type="full", reg_covar=1e-5,
+            random_state=seed).fit(xs)
+        gm.covariances_ *= 1.69                # defensive widening (×1.3/axis)
+        gm.precisions_cholesky_ = _compute_precision_cholesky(
+            gm.covariances_, "full")
+        n_gm = int(round(n * (1.0 - prior_mix)))
+        gm_draws, log_accept = _sample_in_support(gm, n_gm, log_prior_fn,
+                                                  rng)
+        cur = np.concatenate([gm_draws, prior_sampler(rng, n - n_gm)])
         t = jnp.asarray(cur, dtype=jnp.float32)
-        cur_ll = np.asarray(log_l_fn(t))
-        cur_lp = np.asarray(log_prior_fn(t))
-        cur_lq = np.zeros(len(cur))        # rejuvenated draws ~ tempered mix
-        beta = new_beta
-        ladder.append(beta)
+        cur_lp = np.asarray(log_prior_fn(t), dtype=np.float64)
+        # truncating the mixture to the prior support divides its density
+        # by the support mass; the MC acceptance rate estimates that mass,
+        # keeping stage densities (hence the evidence) consistent
+        lg_gm = _gmm_logpdf_sym(gm, cur) - log_accept
+        cur_lg = np.logaddexp(np.log1p(-prior_mix) + lg_gm,
+                              np.log(prior_mix) + cur_lp)
+        cur_ll = np.asarray(log_l_fn(t), dtype=np.float64)
 
-    final = _finalize(cur, (1.0 - beta) * cur_ll + cur_lp - cur_lq)
-    final.ess = min(final.ess, min_stage_ess)
-    final.efficiency = final.ess / len(cur)
-    final.n_stages = max_stages + 1
+    final = _finalize(cur.astype(np.float32), log_w)
+    final.n_stages = len(ladder)
     final.beta_ladder = ladder
+    final.converged = converged
     return final
 
 
-def _ess(log_w: np.ndarray) -> float:
-    w = _norm_w(log_w)
-    return float(1.0 / np.sum(w ** 2))
+def _gmm_draw(gm, n: int, rng) -> np.ndarray:
+    """Draw n x-space samples from a fitted GaussianMixture using OUR rng.
+    sklearn's gm.sample() re-seeds from gm.random_state (an int) on every
+    call, so its draws are frozen — identical across calls and stages —
+    which silently breaks the IS averaging (measured: a stable multi-nat
+    logZ bias from one frozen realization + the adaptive stopping rule)."""
+    counts = rng.multinomial(n, gm.weights_)
+    chunks = []
+    for k, c in enumerate(counts):
+        if c == 0:
+            continue
+        L = np.linalg.cholesky(gm.covariances_[k])
+        z = rng.standard_normal((c, gm.means_.shape[1]))
+        chunks.append(gm.means_[k] + z @ L.T)
+    out = np.concatenate(chunks)
+    return out[rng.permutation(len(out))]
+
+
+def _sample_in_support(gm, n: int, log_prior_fn: Callable, rng,
+                       max_rounds: int = 40):
+    """Rejection-sample n draws from the (folded) GMM restricted to the
+    prior support. Returns (draws, log acceptance-rate). A widened 11-D
+    mixture otherwise puts most of its mass outside the bounded prior and
+    −inf priors destroy every subsequent rung's ESS."""
+    acc, n_drawn, n_acc = [], 0, 0
+    for _ in range(max_rounds):
+        x = _gmm_draw(gm, max(n, 256), rng)
+        th = _from_slow(np.asarray(x))
+        ok = np.isfinite(np.asarray(
+            log_prior_fn(jnp.asarray(th, dtype=jnp.float32)), np.float64))
+        n_drawn += len(th)
+        n_acc += int(ok.sum())
+        if ok.any():
+            acc.append(th[ok])
+        if sum(len(a) for a in acc) >= n:
+            break
+    if not acc:                      # mixture entirely out of support:
+        x = _gmm_draw(gm, n, rng)    # keep raw draws, let −inf priors
+        return _from_slow(np.asarray(x)), 0.0   # zero those weights
+    out = np.concatenate(acc)[:n]
+    if len(out) < n:                 # top up by resampling accepted draws
+        out = np.concatenate([out, out[rng.integers(0, len(out),
+                                                    n - len(out))]])
+    return out, float(np.log(max(n_acc, 1) / n_drawn))
+
+
+# Slow-space transform for the mixture proposals: log on (m1, m2, d_L),
+# identity on the 8 remaining params. Densities are always reported in
+# PHYSICAL θ-space: gm.score_samples gives the x-space density, and
+# |det dx/dθ| = 1/(m1·m2·d_L) adds −(x0+x1+x2) in log.
+_N_LOG_DIMS = 3
+
+
+def _to_slow(theta: np.ndarray) -> np.ndarray:
+    x = theta.astype(np.float64).copy()
+    x[:, :_N_LOG_DIMS] = np.log(np.maximum(x[:, :_N_LOG_DIMS], 1e-10))
+    return x
+
+
+def _from_slow(x: np.ndarray) -> np.ndarray:
+    th = x.copy()
+    th[:, :_N_LOG_DIMS] = np.exp(x[:, :_N_LOG_DIMS])
+    m1 = np.maximum(th[:, 0], th[:, 1])        # fold to the m1 ≥ m2
+    m2 = np.minimum(th[:, 0], th[:, 1])        # convention (density
+    th[:, 0], th[:, 1] = m1, m2                # symmetrized below)
+    return th
+
+
+def _gmm_logpdf_sym(gm, theta: np.ndarray) -> np.ndarray:
+    """θ-space log-density of the folded (m1 ≥ m2) GMM draw: sum of the
+    mixture density at x and at the mass-swapped x, plus the log-transform
+    Jacobian."""
+    x = _to_slow(theta)
+    xs = x.copy()
+    xs[:, [0, 1]] = x[:, [1, 0]]
+    jac = -np.sum(x[:, :_N_LOG_DIMS], axis=1)
+    return np.logaddexp(gm.score_samples(x), gm.score_samples(xs)) + jac
+
+
+def _pick_gamma(delta: np.ndarray, target_frac: float) -> float:
+    """Largest γ ∈ (0, 1] keeping ESS/n of the rung weights γ·delta above
+    target_frac, delta = log(L·π/g_s). When even tiny γ falls short, the
+    target adapts downward — any γ sequence stays exact (per-rung
+    densities are exact; the target only trades variance for ladder
+    length), while a hard target would stall the ladder."""
+    def ess_frac(g):
+        lw = g * delta
+        m = np.isfinite(lw)
+        if m.sum() < 10:
+            return 0.0
+        v = np.exp(lw[m] - lw[m].max())
+        return (v.sum() ** 2 / (v ** 2).sum()) / len(delta)
+    # the γ = 1 hop is exact at ANY ESS (it is plain IS against a known
+    # density) — accept it at a lower bar than intermediate rungs rather
+    # than rejuvenating forever on a proposal the GMM cannot improve
+    if ess_frac(1.0) >= min(target_frac, 0.05):
+        return 1.0
+    target = min(target_frac, max(ess_frac(1e-3) * 0.5, 0.02))
+    a, b = 0.0, 1.0
+    for _ in range(40):
+        mid = 0.5 * (a + b)
+        if ess_frac(mid) >= target:
+            a = mid
+        else:
+            b = mid
+    return max(a, 1e-4)
 
 
 def _norm_w(log_w: np.ndarray) -> np.ndarray:
@@ -202,28 +369,3 @@ def _systematic_resample(w: np.ndarray, rng) -> np.ndarray:
     n = len(w)
     positions = (rng.uniform() + np.arange(n)) / n
     return np.searchsorted(np.cumsum(w), positions).clip(0, n - 1)
-
-
-def _gmm_rejuvenate(theta: np.ndarray, rng, n_comp: int = 10,
-                    widen: float = 1.3) -> np.ndarray:
-    """Refresh resampled duplicates: fit a GMM in (log m1, log m2, log d),
-    redraw those slow coordinates, keep fast coordinates + add jitter
-    (reference: importance.py:276-328 rejuvenation step)."""
-    from sklearn.mixture import GaussianMixture
-    out = theta.copy()
-    slow = np.log(np.maximum(theta[:, :3], 1e-6))
-    n_comp = min(n_comp, max(1, len(theta) // 20))
-    try:
-        gm = GaussianMixture(n_components=n_comp, covariance_type="full",
-                             random_state=int(rng.integers(2**31)))
-        gm.fit(slow)
-        gm.covariances_ *= widen ** 2
-        new_slow, _ = gm.sample(len(theta))
-        order = rng.permutation(len(theta))
-        out[:, :3] = np.exp(new_slow[order])
-        m1 = np.maximum(out[:, 0], out[:, 1])
-        m2 = np.minimum(out[:, 0], out[:, 1])
-        out[:, 0], out[:, 1] = m1, m2
-    except Exception:
-        out[:, :3] *= np.exp(0.05 * rng.standard_normal((len(out), 3)))
-    return out

@@ -162,7 +162,8 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     `real_feed` = (noise [3,T], recolor [3,F], bands [3,K]) supplies the
     crop externally (the host-side big-bank path, data/host_feed.py) —
     takes precedence over `bank`. Returns an EventBatch (no batch dim)."""
-    k_noise, k_drop, k_cfg, k_fill, k_real, k_use = jax.random.split(key, 6)
+    (k_noise, k_drop, k_cfg, k_fill, k_real, k_use,
+     k_glitch) = jax.random.split(key, 7)
 
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
     params, h_w, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
@@ -207,8 +208,9 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
         asd_bands = jnp.where(use_real, r_bands, asd_bands)
 
     if cfg.glitch_prob > 0.0:
-        k_g, k_noise2 = jax.random.split(k_noise)
-        noise = noise + _glitch_burst(k_g, cfg.glitch_prob)
+        # dedicated key: re-splitting the consumed k_noise here would
+        # correlate glitch placement with the noise realization
+        noise = noise + _glitch_burst(k_glitch, cfg.glitch_prob)
 
     if cfg.add_noise:
         strain = jnp.where(det_mask[:, None] > 0,

@@ -205,14 +205,21 @@ def log_prior_bbh(theta: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Arr
     Returns -inf outside support.
     """
     m1, m2, d = theta[..., 0], theta[..., 1], theta[..., 2]
-    dec, theta_jn = theta[..., 4], theta[..., 5]
+    ra, dec, theta_jn = theta[..., 3], theta[..., 4], theta[..., 5]
+    psi, phase = theta[..., 6], theta[..., 7]
     t, a1, a2 = theta[..., 8], theta[..., 9], theta[..., 10]
 
     lo, hi = _MASS_LO[BBH], _MASS_HI[BBH]
     d_lo, d_hi = _DIST_LO[BBH], _DIST_HI[BBH]
     lr = math.log(hi) - math.log(lo)
 
-    lp = -jnp.log(m1) - lr                      # m1 log-uniform
+    # m1 log-uniform: density 1/(m1·lr) → subtract log(lr), NOT lr.
+    # (Subtracting lr itself mis-normalized the whole prior by a constant
+    # e^{-1.899} — invisible to self-normalized posterior weights and to
+    # marginal KS tests, but it biased log-evidence by +1.9 nats and
+    # distorted the tempered ladder's defensive mixture, where the prior
+    # competes against GMM densities and constants do NOT cancel.)
+    lp = -jnp.log(m1) - math.log(lr)
     lp += -jnp.log(m2) - jnp.log(jnp.log(m1 / lo))   # m2 | m1 log-uniform
     if cfg.distance_prior == "uniform":
         lp += -math.log(d_hi - d_lo)
@@ -226,12 +233,51 @@ def log_prior_bbh(theta: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Arr
     lp += -math.log(_T_OFF_HI - _T_OFF_LO)      # geocent_time
     lp += -2.0 * math.log(_SPIN1_HI[BBH])       # a1, a2 uniform
 
+    # The angular bounds make the density PROPER. Leaving the circular
+    # params unbounded (flat on all of R) lets the tempered IS ladder
+    # wander across periods: every extra period multiply-counts the
+    # evidence and the stage mixtures' angular variance runs away
+    # (measured: a stable e^4 logZ bias).
     inside = ((m1 >= lo) & (m1 <= hi) & (m2 >= lo) & (m2 <= m1)
               & (d >= d_lo) & (d <= d_hi)
+              & (ra >= 0) & (ra <= 2 * math.pi)
+              & (dec >= -math.pi / 2) & (dec <= math.pi / 2)
+              & (theta_jn >= 0) & (theta_jn <= math.pi)
+              & (psi >= 0) & (psi <= math.pi)
+              & (phase >= 0) & (phase <= 2 * math.pi)
               & (t >= _T_OFF_LO) & (t <= _T_OFF_HI)
               & (a1 >= 0) & (a1 <= _SPIN1_HI[BBH])
               & (a2 >= 0) & (a2 <= _SPIN2_HI[BBH]))
+    lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
     return jnp.where(inside, lp, -jnp.inf)
+
+
+def sample_prior_bbh(rng, n: int, cfg: PriorConfig = PriorConfig()):
+    """Host-side closed-form draw of n samples from the BBH training prior
+    (the exact density of log_prior_bbh). numpy, for the importance
+    sampler's defensive proposal mixture — not part of the jitted
+    simulation path (that is sample_signal_params)."""
+    import numpy as np
+    lo, hi = _MASS_LO[BBH], _MASS_HI[BBH]
+    d_lo, d_hi = _DIST_LO[BBH], _DIST_HI[BBH]
+    lm1 = rng.uniform(np.log(lo), np.log(hi), n)
+    m1 = np.exp(lm1)
+    m2 = np.exp(rng.uniform(np.log(lo), lm1))
+    if cfg.distance_prior == "uniform":
+        d = rng.uniform(d_lo, d_hi, n)
+    else:
+        d = (d_lo ** 3 + rng.uniform(0, 1, n)
+             * (d_hi ** 3 - d_lo ** 3)) ** (1.0 / 3.0)
+    return np.column_stack([
+        m1, m2, d,
+        rng.uniform(0, 2 * np.pi, n),
+        np.arcsin(rng.uniform(-1, 1, n)),
+        np.arccos(rng.uniform(-1, 1, n)),
+        rng.uniform(0, np.pi, n),
+        rng.uniform(0, 2 * np.pi, n),
+        rng.uniform(_T_OFF_LO, _T_OFF_HI, n),
+        rng.uniform(0, _SPIN1_HI[BBH], n),
+        rng.uniform(0, _SPIN2_HI[BBH], n)]).astype(np.float64)
 
 
 def loudness(m1: jax.Array, m2: jax.Array, d: jax.Array) -> jax.Array:

@@ -35,9 +35,10 @@ RANGES = {
     "a2":                  (0.0, 1.0, False),
 }
 
-# Parameters whose normalized range equals one full period: wrapping in
-# normalized space is EXACT (ra, phase: 2π; psi: π). Flow samples that land
-# past a bound belong at the other end of the circle, not clamped at the edge.
+# Parameters whose normalized range spans exactly one period (ra, phase:
+# 2π; psi: π). For these, an out-of-range flow sample is re-entered
+# modulo the period — a clamp would pile density onto the boundary and
+# break the circular topology, whereas the modular wrap is exact.
 CIRCULAR = ("ra", "phase", "psi")
 
 # Pre-merger (early-warning) geocent_time range: merger up to ~3 s past the

@@ -124,9 +124,13 @@ def sbc_pass_frac(ranks: np.ndarray, live: np.ndarray, n_post: int,
 
 def evaluate_gate(cfg: TrainConfig, params, batch: EventBatch,
                   key: jax.Array, gate: CalibrationGate = CalibrationGate(),
-                  n_post: int = 128) -> dict:
-    """Full host-side gate evaluation: device metrics + SBC KS + verdict."""
-    fn = make_calibration_metrics(cfg, n_post=n_post)
+                  n_post: int = 128, metrics_fn=None) -> dict:
+    """Full host-side gate evaluation: device metrics + SBC KS + verdict.
+
+    Pass a prebuilt metrics_fn (from make_calibration_metrics) when calling
+    per-epoch — building it here creates a fresh jit closure every call,
+    re-tracing the metrics program each epoch (round-1 weak spot #4)."""
+    fn = metrics_fn or make_calibration_metrics(cfg, n_post=n_post)
     m = fn(params, batch, key)
     out = {k: float(v) for k, v in m.items()
            if k not in ("sbc_ranks", "live_mask", "cov90_all")}

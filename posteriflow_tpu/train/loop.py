@@ -28,6 +28,7 @@ from posteriflow_tpu.physics.simulator import simulate_batch
 from posteriflow_tpu.train.checkpoints import CheckpointManager
 from posteriflow_tpu.train.diagnostics import make_diagnostics
 from posteriflow_tpu.train.gates import (CalibrationGate, evaluate_gate,
+                                         make_calibration_metrics,
                                          select_best)
 from posteriflow_tpu.train.trainer import (TrainConfig, init_state,
                                            make_eval_nll, make_train_step)
@@ -60,6 +61,8 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     k_init, k_val, k_diag, key = jax.random.split(key, 4)
 
     state = init_state(k_init, cfg)
+    epoch_offset = 0
+    prior_history: list = []
     if resume_from:
         # TRUE resume: full TrainState (params + optimizer + schedule step)
         # — no LR-restart penalty. The config must match the checkpoint's.
@@ -68,8 +71,21 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         if ck_cfg != cfg:
             log.warning("resume config differs from checkpoint config; "
                         "optimizer state assumed layout-compatible")
-        log.info("resuming from %s (epoch %s, step %s)", resume_from,
-                 meta.get("epoch"), int(state.step))
+        # continuity: seed history from the run being resumed and offset
+        # epoch numbering, so history.json keeps prior epochs and the
+        # gated best-selection still sees the pre-resume best (otherwise
+        # 'best' could be silently replaced by a worse post-resume epoch)
+        epoch_offset = int(meta.get("epoch") or 0)
+        prev_hist = Path(resume_from).parent.parent / "history.json"
+        if prev_hist.exists():
+            prior_history = json.loads(prev_hist.read_text())
+            prior_history = [r for r in prior_history
+                             if r.get("epoch", 0) <= epoch_offset]
+        elif meta:
+            prior_history = [dict(meta)]
+        log.info("resuming from %s (epoch %s, step %s, %d prior history "
+                 "records)", resume_from, epoch_offset, int(state.step),
+                 len(prior_history))
     elif init_from:
         state, meta = CheckpointManager(Path(init_from).parent) \
             .fine_tune_restore(Path(init_from).name, cfg)
@@ -81,6 +97,9 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     step = make_train_step(cfg, mesh=mesh, with_bank=bank is not None)
     eval_nll = make_eval_nll(cfg)
     diagnostics = make_diagnostics(cfg, n_events=n_val_events)
+    # build the gate-metrics jit ONCE: evaluate_gate would otherwise
+    # construct a fresh closure (full retrace) every epoch
+    cal_metrics_fn = make_calibration_metrics(cfg)
 
     # fixed deterministic validation batch (Gaussian domain)
     sim_fn = jax.jit(lambda k: simulate_batch(k, n_val_events, cfg.sim))
@@ -99,9 +118,9 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
             k, n_val_events, real_cfg, bank=bank))(
             jax.random.fold_in(k_val, 1))
 
-    history = []
+    history = list(prior_history)
     best_epoch = -1
-    for epoch in range(1, epochs + 1):
+    for epoch in range(epoch_offset + 1, epoch_offset + epochs + 1):
         t0 = time.time()
         tr_losses, gnorms = [], []
         for s in range(steps_per_epoch):
@@ -119,7 +138,8 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         diag = diagnostics(state.params, val_batch, k_diag)
         diag_f = {k: float(v) for k, v in diag.items()
                   if not hasattr(v, "shape") or v.ndim == 0}
-        cal = evaluate_gate(cfg, state.params, val_batch, k_diag, gate)
+        cal = evaluate_gate(cfg, state.params, val_batch, k_diag, gate,
+                            metrics_fn=cal_metrics_fn)
 
         real_metrics = {}
         select = val

@@ -74,6 +74,33 @@ def test_log_prior_finite_on_bbh_draws():
     assert np.isfinite(lp).all()
 
 
+def test_log_prior_is_normalized():
+    """MC-integrate exp(log_prior_bbh) against an exactly-known uniform
+    density over the full support. Regression: the m1 term once subtracted
+    lr instead of log(lr), mis-normalizing the whole prior by e^-1.899 —
+    invisible to self-normalized weights and marginal KS tests, but fatal
+    to evidence estimates and the tempered IS defensive mixture."""
+    import math
+    rng = np.random.default_rng(0)
+    n = 300000
+    m1u = rng.uniform(5, 100, n)
+    m2u = rng.uniform(5, 100, n)
+    th = np.column_stack([
+        np.maximum(m1u, m2u), np.minimum(m1u, m2u),
+        rng.uniform(50, 2000, n), rng.uniform(0, 2 * math.pi, n),
+        rng.uniform(-math.pi / 2, math.pi / 2, n),
+        rng.uniform(0, math.pi, n), rng.uniform(0, math.pi, n),
+        rng.uniform(0, 2 * math.pi, n), rng.uniform(-1.5, 1.5, n),
+        rng.uniform(0, 0.99, n), rng.uniform(0, 0.99, n)])
+    log_u = (math.log(2) - 2 * math.log(95) - math.log(1950)
+             - 2 * math.log(2 * math.pi) - 3 * math.log(math.pi)
+             - math.log(3) - 2 * math.log(0.99))
+    lp = np.asarray(jax.jit(jax.vmap(log_prior_bbh))(
+        jnp.asarray(th, jnp.float32)), np.float64)
+    w = np.exp(np.where(np.isfinite(lp), lp, -np.inf) - log_u)
+    assert 0.7 < w.mean() < 1.3, w.mean()
+
+
 def test_log_prior_rejects_outside():
     x = _draws(4)
     x = x.copy()
