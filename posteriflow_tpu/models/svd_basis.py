@@ -18,7 +18,7 @@ import numpy as np
 
 from posteriflow_tpu.physics.constants import FREQS
 from posteriflow_tpu.physics.psd import aligo_psd, asd_from_psd
-from posteriflow_tpu.physics.waveforms.imr import imr_polarizations
+from posteriflow_tpu.physics.waveforms import imr_polarizations
 from posteriflow_tpu.physics.whiten import whiten_fd
 
 _FREQS = jnp.asarray(FREQS, dtype=jnp.float32)

@@ -32,7 +32,7 @@ from posteriflow_tpu.physics.constants import (F_LOWER, FREQS,
                                                N_DETECTORS, N_SAMPLES)
 from posteriflow_tpu.physics.projection import project_to_network
 from posteriflow_tpu.physics.psd import default_network_asd
-from posteriflow_tpu.physics.waveforms.imr import imr_polarizations
+from posteriflow_tpu.physics.waveforms import imr_polarizations
 from posteriflow_tpu.physics.whiten import fd_white_to_td, whiten_fd
 from posteriflow_tpu.prior import PriorConfig, loudness, sample_batch
 

@@ -3,20 +3,31 @@
 Registry keyed by name, mirroring the reference's per-event-type approximant
 dispatch (src/ahsd/data/bilby_pipeline.py:42-47). All approximants share the
 signature (freqs, m1, m2, chi1, chi2, d_L, theta_jn, phase) -> (h+, h×).
+
+The production default (`imr_polarizations`) is IMRPhenomD built from the
+published coefficient tables (phenomd.py); the round-1 phenomenological
+stitch stays registered as the regression baseline ("IMRPhenomJ").
 """
 
 from posteriflow_tpu.physics.waveforms.imr import (final_state,
-                                                   imr_polarizations,
+                                                   imr_stitch_polarizations,
                                                    qnm_frequency)
+from posteriflow_tpu.physics.waveforms.phenomd import (phenomd_amp_phase,
+                                                       phenomd_polarizations)
 from posteriflow_tpu.physics.waveforms.taylorf2 import (isco_frequency,
                                                         taylorf2_amp_phase,
                                                         taylorf2_polarizations)
 
+# the framework-wide production IMR approximant
+imr_polarizations = phenomd_polarizations
+
 APPROXIMANTS = {
     "TaylorF2": taylorf2_polarizations,
-    "IMRPhenomJ": imr_polarizations,      # this framework's IMR construction
+    "IMRPhenomD": phenomd_polarizations,
+    "IMRPhenomJ": imr_stitch_polarizations,   # round-1 stitch (baseline)
 }
 
 __all__ = ["APPROXIMANTS", "taylorf2_polarizations", "taylorf2_amp_phase",
-           "isco_frequency", "imr_polarizations", "final_state",
+           "isco_frequency", "imr_polarizations", "phenomd_polarizations",
+           "phenomd_amp_phase", "imr_stitch_polarizations", "final_state",
            "qnm_frequency"]

@@ -1,4 +1,8 @@
-"""IMRPhenom-class inspiral–merger–ringdown waveform, pure JAX.
+"""Phenomenological IMR stitch waveform, pure JAX (regression baseline).
+
+Superseded as the production approximant by phenomd.py (real published
+IMRPhenomD coefficients); kept as the round-1 regression baseline per
+VERDICT.md item 3.
 
 The framework's BBH/NSBH approximant (the reference uses LAL IMRPhenomXP /
 IMRPhenomNSBH through bilby: src/ahsd/data/bilby_pipeline.py:42-47). This is
@@ -67,7 +71,7 @@ def qnm_frequency(final_mass_msun, final_spin):
     return f_rd, f_damp
 
 
-def imr_polarizations(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
+def imr_stitch_polarizations(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
                       luminosity_distance, theta_jn, phase_c,
                       f_lower: float = 20.0):
     """(h̃₊ [F], h̃ₓ [F]) complex64 IMR waveform, coalescence at t = 0."""

@@ -114,6 +114,32 @@ def main(argv=None):
     check("snr_gate", bool((live >= 8.0 - 1e-4).all()),
           {"min_live_snr": float(live.min()) if live.size else None})
 
+    # 8. PhenomD inspiral-phase consistency with TaylorF2 (VERDICT item 3)
+    from posteriflow_tpu.physics.waveforms import phenomd_amp_phase
+    from posteriflow_tpu.physics.waveforms.taylorf2 import taylorf2_amp_phase
+    band = jnp.arange(80, 200, dtype=jnp.float32) * 0.25      # 20–50 Hz
+    wf_args = (36.0, 29.0, 0.3, -0.1, 400.0, 0.0)
+    amp_d, psi_d = jax.jit(lambda: phenomd_amp_phase(band, *wf_args))()
+    amp_t, psi_t = taylorf2_amp_phase(band, *wf_args)
+    dpsi = float(jnp.max(jnp.abs(psi_d - psi_t)))
+    ratio_lo = float(jnp.min(amp_d / amp_t))
+    check("phenomd_inspiral_consistency",
+          dpsi < 5.0 and 0.7 < ratio_lo,
+          {"max_phase_diff_rad": dpsi, "min_amp_ratio": ratio_lo})
+
+    # 9. PhenomD amplitude peak sits below (and near) the ringdown
+    from posteriflow_tpu.physics.waveforms.phenomd import _ring_damp_geo
+    full = jnp.arange(1, 8193, dtype=jnp.float32) * 0.25
+    amp_f, _ = jax.jit(lambda: phenomd_amp_phase(full, *wf_args))()
+    eff = np.asarray(amp_f) * np.asarray(full) ** (7.0 / 6.0)
+    msec = (wf_args[0] + wf_args[1]) * C.MTSUN_SI
+    eta = wf_args[0] * wf_args[1] / (wf_args[0] + wf_args[1]) ** 2
+    f_rd_hz = float(_ring_damp_geo(eta, wf_args[2], wf_args[3])[0]) / msec
+    f_pk = float(full[int(np.argmax(eff))])
+    check("phenomd_amplitude_peak",
+          0.5 * f_rd_hz < f_pk < 1.05 * f_rd_hz,
+          {"f_peak_hz": f_pk, "f_ringdown_hz": f_rd_hz})
+
     all_pass = all(c["passed"] for c in checks)
     report = {"passed": all_pass, "backend": jax.default_backend(),
               "checks": checks}
