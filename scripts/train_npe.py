@@ -34,6 +34,13 @@ def main(argv=None):
     ap.add_argument("--resume-from", default=None,
                     help="restore the FULL TrainState (params + optimizer "
                          "+ schedule) — true continuation, no LR restart")
+    ap.add_argument("--noise-bank", default=None,
+                    help="real-noise bank directory (see "
+                         "scripts/download_gwosc_noise_bank.py); enables "
+                         "real-noise mixing + the dual-domain validation")
+    ap.add_argument("--real-noise-prob", type=float, default=None,
+                    help="per-event probability of a real-noise crop "
+                         "(reference: train_lean_npe.py --real_noise_prob)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
     ap.add_argument("--profile-dir", default=None,
@@ -65,11 +72,25 @@ def main(argv=None):
         npe = dataclasses.replace(npe, psd_cond=True)
     if args.det_dropout is not None:
         sim = dataclasses.replace(sim, det_dropout=args.det_dropout)
+    if args.real_noise_prob is not None:
+        sim = dataclasses.replace(sim, real_noise_prob=args.real_noise_prob)
     total = args.epochs * args.steps_per_epoch
     cfg = dataclasses.replace(
         cfg, npe=npe, sim=sim, total_steps=total,
         **({"batch_size": args.batch} if args.batch else {}),
         **({"lr": args.lr} if args.lr else {}))
+
+    bank = None
+    if args.noise_bank:
+        from posteriflow_tpu.data.noise_bank import load_noise_bank
+        bank = load_noise_bank(args.noise_bank, psd_bands=cfg.sim.psd_bands)
+        if cfg.sim.real_noise_prob <= 0.0:
+            cfg = dataclasses.replace(
+                cfg, sim=dataclasses.replace(cfg.sim, real_noise_prob=0.5))
+        log.info("noise bank: %s (%d segments/det, real_noise_prob=%.2f)",
+                 args.noise_bank, bank.n_segments, cfg.sim.real_noise_prob)
+    elif cfg.sim.real_noise_prob > 0.0:
+        ap.error("--real-noise-prob needs --noise-bank")
 
     mesh = None
     if args.mesh:
@@ -84,7 +105,7 @@ def main(argv=None):
                              seed=args.seed, mesh=mesh,
                              ckpt_every=args.ckpt_every,
                              init_from=args.init_from,
-                             resume_from=args.resume_from)
+                             resume_from=args.resume_from, bank=bank)
     return history
 
 

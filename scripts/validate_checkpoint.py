@@ -12,11 +12,14 @@ gates at :173-199): on fixed seeded validation events,
   - injected smoke tests: |t_c| error < 0.1 s on loud reference-like events
     (the GWOSC event battery needs network; injections exercise the same
     contract through the same pipeline)
+  - with --noise-bank: a deterministic REAL-NOISE validation domain and
+    the real-vs-Gaussian NLL gap < 3 nats gate (the reference CI is
+    dual-domain: validate_checkpoint.py:284-293, gate table :173-199)
 
 plus OOD-stat fitting (arming inference's OOD scorer, reference :297-302).
 
 Usage: python scripts/validate_checkpoint.py --ckpt model/run/ckpt \
-           [--n-events 2000] [--n-post 400] [--out reports/val]
+           [--noise-bank banks/dir] [--n-events 2000] [--n-post 400]
 """
 
 import argparse
@@ -38,6 +41,11 @@ GATES = {
     "smoke_tc_max_abs_err": ("<", 0.1),
 }
 
+# 8th gate, armed when a noise bank provides the real-noise domain
+# (reference: real-vs-Gaussian NLL gap < 3 nats,
+#  /root/reference/scripts/validate_checkpoint.py:284-293)
+REAL_GATE = {"real_gaussian_nll_gap": ("<", 3.0)}
+
 
 def _check(name, value, spec):
     op, thresh = spec
@@ -55,6 +63,9 @@ def main(argv=None):
     ap.add_argument("--n-post", type=int, default=400)
     ap.add_argument("--n-smoke", type=int, default=6)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--noise-bank", default=None,
+                    help="bank dir: adds the deterministic real-noise "
+                         "domain + the real-vs-Gaussian gap gate")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -104,6 +115,32 @@ def main(argv=None):
 
     def avg(key_):
         return float(np.mean([d[key_] for d in diags]))
+
+    # deterministic real-noise validation domain (same seeds, every event
+    # on a real crop — reference materializes it once, :284-293)
+    real_metrics = {}
+    if args.noise_bank:
+        import dataclasses as _dc
+        from posteriflow_tpu.data.noise_bank import load_noise_bank
+        bank = load_noise_bank(args.noise_bank,
+                               psd_bands=cfg.sim.psd_bands)
+        real_cfg = _dc.replace(cfg.sim, real_noise_prob=1.0)
+        sim_real = jax.jit(lambda k: simulate_batch(k, chunk, real_cfg,
+                                                    bank=bank))
+        rdiags = []
+        for i in range(n_chunks):
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed + 77), i)
+            d = diag_fn(state.params, sim_real(key), key)
+            rdiags.append({k: float(v) for k, v in d.items()
+                           if hasattr(v, "ndim") and v.ndim == 0})
+        real_metrics = {
+            "real_val_nll": float(np.mean([d["val_nll_diag"]
+                                           for d in rdiags])),
+            "real_dist_corr": float(np.mean([d["dist_corr"]
+                                             for d in rdiags])),
+            "real_shuffle_delta_nll": float(np.mean(
+                [d["shuffle_delta_nll"] for d in rdiags])),
+        }
 
     cov50 = np.mean(np.stack(cov50s), axis=0)
     cov90 = np.mean(np.stack([np.asarray(c["cov90_all"]) for c in cals]),
@@ -161,7 +198,14 @@ def main(argv=None):
         "wall_time_s": round(time.time() - t_start, 1),
     }
 
-    checks = [_check(k, metrics[k], spec) for k, spec in GATES.items()]
+    gates = dict(GATES)
+    if real_metrics:
+        metrics.update(real_metrics)
+        metrics["real_gaussian_nll_gap"] = (real_metrics["real_val_nll"]
+                                            - metrics["val_nll"])
+        gates.update(REAL_GATE)
+
+    checks = [_check(k, metrics[k], spec) for k, spec in gates.items()]
     all_pass = all(c["passed"] for c in checks)
     report = {"passed": all_pass, "checks": checks, "metrics": metrics,
               "checkpoint": str(Path(args.ckpt) / args.name)}
