@@ -50,6 +50,70 @@ _BUILTIN_EVENTS: Dict[str, Dict] = {
 }
 
 
+def gps_from_name(name: str) -> Optional[float]:
+    """GPS second from a full GWyymmdd_hhmmss event name (GPS epoch
+    1980-01-06 UTC; GPS−UTC = 18 s for O1–O4 dates). ±1 s precision —
+    catalog-grade lookup without network access."""
+    import datetime
+    import re
+    m = re.fullmatch(r"GW(\d{2})(\d{2})(\d{2})_(\d{2})(\d{2})(\d{2})", name)
+    if not m:
+        return None
+    yy, mo, dd, hh, mi, ss = (int(g) for g in m.groups())
+    t = datetime.datetime(2000 + yy, mo, dd, hh, mi, ss)
+    epoch = datetime.datetime(1980, 1, 6)
+    return (t - epoch).total_seconds() + 18.0
+
+
+# GWTC-2.1/3 extension: approximate published median source parameters
+# (GWTC-2.1: arXiv 2108.01045; GWTC-3: arXiv 2111.03606). GPS derived from
+# the full event name (±1 s). Enough for the smoke battery + catalog
+# lookups; the reference's live-API depth (gwtc_loader.py:55-700) remains
+# behind the gated network fetch.
+_EXTENDED = {
+    "GW190408_181802": (24.6, 18.4, 1540.0, "GWTC-2", None),
+    "GW190425_081805": (2.0, 1.4, 160.0, "GWTC-2", "BNS"),
+    "GW190503_185404": (43.0, 28.0, 1450.0, "GWTC-2", None),
+    "GW190512_180714": (23.0, 12.6, 1430.0, "GWTC-2", None),
+    "GW190517_055101": (37.0, 25.0, 1860.0, "GWTC-2", None),
+    "GW190519_153544": (66.0, 40.0, 2600.0, "GWTC-2", None),
+    "GW190521_074359": (42.2, 32.8, 1240.0, "GWTC-2", None),
+    "GW190602_175927": (69.0, 48.0, 2800.0, "GWTC-2", None),
+    "GW190630_185205": (35.0, 24.0, 890.0, "GWTC-2", None),
+    "GW190706_222641": (67.0, 38.0, 4400.0, "GWTC-2", None),
+    "GW190707_093326": (11.6, 8.4, 770.0, "GWTC-2", None),
+    "GW190708_232457": (17.6, 13.0, 880.0, "GWTC-2", None),
+    "GW190720_000836": (13.4, 7.8, 790.0, "GWTC-2", None),
+    "GW190727_060333": (38.0, 29.0, 3300.0, "GWTC-2", None),
+    "GW190728_064510": (12.3, 8.1, 870.0, "GWTC-2", None),
+    "GW190828_063405": (32.0, 26.0, 2130.0, "GWTC-2", None),
+    "GW190915_235702": (35.0, 24.0, 1620.0, "GWTC-2", None),
+    "GW190924_021846": (8.9, 5.0, 550.0, "GWTC-2", None),
+    "GW191109_010717": (65.0, 47.0, 1290.0, "GWTC-3", None),
+    "GW191129_134029": (10.7, 6.7, 790.0, "GWTC-3", None),
+    "GW191204_171526": (11.9, 8.2, 650.0, "GWTC-3", None),
+    "GW191216_213338": (12.1, 7.7, 340.0, "GWTC-3", None),
+    "GW191222_033537": (45.0, 35.0, 3000.0, "GWTC-3", None),
+    "GW200105_162426": (8.9, 1.9, 280.0, "GWTC-3", "NSBH"),
+    "GW200112_155838": (35.6, 28.3, 1250.0, "GWTC-3", None),
+    "GW200115_042309": (5.7, 1.5, 300.0, "GWTC-3", "NSBH"),
+    "GW200129_065458": (34.5, 28.9, 900.0, "GWTC-3", None),
+    "GW200202_154313": (10.1, 7.3, 410.0, "GWTC-3", None),
+    "GW200224_222234": (40.0, 32.5, 1710.0, "GWTC-3", None),
+    "GW200225_060421": (19.3, 14.0, 1150.0, "GWTC-3", None),
+    "GW200311_115853": (34.2, 27.7, 1170.0, "GWTC-3", None),
+    "GW200316_215756": (13.1, 7.8, 1120.0, "GWTC-3", None),
+}
+
+for _name, (_m1, _m2, _dl, _cat, _etype) in _EXTENDED.items():
+    _e = dict(gps=gps_from_name(_name), mass_1=_m1, mass_2=_m2,
+              luminosity_distance=_dl, catalog=_cat)
+    if _etype:
+        _e["event_type"] = _etype
+    _BUILTIN_EVENTS[_name] = _e
+    _BUILTIN_EVENTS.setdefault(_name.split("_")[0], _e)   # short alias
+
+
 class GWTCLoader:
     def __init__(self, cache_dir: Optional[str] = None):
         self.cache_dir = cache_dir

@@ -54,12 +54,18 @@ class InferenceEngine:
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str | Path, name: str = "best"):
+        from posteriflow_tpu.inference.gating import load_bias_map
         from posteriflow_tpu.train.checkpoints import CheckpointManager
         cm = CheckpointManager(ckpt_dir)
         state, cfg, _meta = cm.restore(name)
         ood_path = Path(ckpt_dir) / "ood_stats.npz"
         stats = ContextStats.load(ood_path) if ood_path.exists() else None
-        return cls(state.params, cfg, ood_stats=stats)
+        # arm the amortization-bias gate: checkpoint-local twin grid wins,
+        # else the repo-level artifact (round-1 gap: bias_map stayed None
+        # and the twin-grid indicator was dead — VERDICT item 7)
+        bias_map = (load_bias_map(Path(ckpt_dir) / "twin_grid.json")
+                    or load_bias_map())
+        return cls(state.params, cfg, ood_stats=stats, bias_map=bias_map)
 
     def _encode_impl(self, params, strain, asd_bands):
         asd = asd_bands if self.cfg.npe.uses_asd_bands else None

