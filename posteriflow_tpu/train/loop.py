@@ -31,7 +31,7 @@ from posteriflow_tpu.train.gates import (CalibrationGate, evaluate_gate,
                                          make_calibration_metrics,
                                          select_best)
 from posteriflow_tpu.train.trainer import (TrainConfig, init_state,
-                                           make_eval_nll, make_train_step)
+                                           make_eval_nll, make_train_epoch)
 
 log = logging.getLogger("posteriflow.train")
 
@@ -94,7 +94,11 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info("LeanNPE parameters: %s", f"{n_params:,}")
 
-    step = make_train_step(cfg, mesh=mesh, with_bank=bank is not None)
+    # all steps of an epoch scan inside ONE jitted program (one dispatch
+    # per epoch — the per-step host dispatch otherwise bottlenecks the
+    # tunneled chip at ~7.5 steps/s vs 71.7 device-bound)
+    epoch_fn = make_train_epoch(cfg, steps_per_epoch, mesh=mesh,
+                                with_bank=bank is not None)
     eval_nll = make_eval_nll(cfg)
     diagnostics = make_diagnostics(cfg, n_events=n_val_events)
     # build the gate-metrics jit ONCE: evaluate_gate would otherwise
@@ -122,17 +126,13 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
     best_epoch = -1
     for epoch in range(epoch_offset + 1, epoch_offset + epochs + 1):
         t0 = time.time()
-        tr_losses, gnorms = [], []
-        for s in range(steps_per_epoch):
-            key, k_step = jax.random.split(key)
-            if bank is not None:
-                state, m = step(state, k_step, bank)
-            else:
-                state, m = step(state, k_step)
-            tr_losses.append(m["nll"])
-            gnorms.append(m["grad_norm"])
-        train_nll = float(np.mean([float(x) for x in tr_losses]))
-        grad_norm = float(np.mean([float(x) for x in gnorms]))
+        key, k_epoch = jax.random.split(key)
+        if bank is not None:
+            state, m = epoch_fn(state, k_epoch, bank)
+        else:
+            state, m = epoch_fn(state, k_epoch)
+        train_nll = float(m["nll"])
+        grad_norm = float(m["grad_norm"])
 
         val = float(eval_nll(state.params, val_batch))
         diag = diagnostics(state.params, val_batch, k_diag)

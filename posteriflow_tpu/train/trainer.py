@@ -126,6 +126,46 @@ def make_train_step(cfg: TrainConfig, mesh=None, with_bank: bool = False):
     return jax.jit(lambda s, k: step_impl(s, k), donate_argnums=(0,))
 
 
+def make_train_epoch(cfg: TrainConfig, n_steps: int, mesh=None,
+                     with_bank: bool = False):
+    """Returns epoch(state, key[, bank]) -> (state, mean-metrics): n_steps
+    full train steps scanned INSIDE one jitted program.
+
+    One dispatch per epoch instead of one per step: through the tunneled
+    single-chip setup the per-step host dispatch is the bottleneck
+    (measured: ~7.5 steps/s dispatch-bound vs 71.7 steps/s device-bound at
+    batch 64), and on any deployment it removes host jitter from the step
+    loop. Per-step randomness folds the epoch key by step index (the
+    reference's seeded per-(epoch, item) rng discipline, remix_data.py:220
+    — SURVEY.md §7 hard-part (e))."""
+    model = LeanNPE(cfg.npe)
+
+    def loss_fn(params, batch):
+        return batch_nll(model, params, batch)
+
+    def epoch_impl(state: TrainState, key: jax.Array, bank=None):
+        def body(st, i):
+            k_sim = jax.random.fold_in(key, i)
+            batch = simulate_batch(k_sim, cfg.batch_size, cfg.sim,
+                                   bank=bank)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            loss, grads = jax.value_and_grad(loss_fn)(st.params, batch)
+            gnorm = optax.global_norm(grads)
+            st = st.apply_gradients(grads=grads)
+            return st, (loss, gnorm)
+
+        state, (losses, gnorms) = jax.lax.scan(
+            body, state, jnp.arange(n_steps, dtype=jnp.int32))
+        metrics = {"nll": jnp.mean(losses), "grad_norm": jnp.mean(gnorms),
+                   "last_nll": losses[-1]}
+        return state, metrics
+
+    if with_bank:
+        return jax.jit(epoch_impl, donate_argnums=(0,))
+    return jax.jit(lambda s, k: epoch_impl(s, k), donate_argnums=(0,))
+
+
 def make_eval_nll(cfg: TrainConfig):
     """Jitted fixed-batch validation NLL (reference: per-epoch Gaussian val,
     train_lean_npe.py:377-385)."""
