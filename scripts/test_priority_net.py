@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Standalone PriorityNet evaluation battery -> JSON.
+
+Reference analog: experiments/test_priority_net.py (658 LoC standalone
+harness). Metrics over freshly simulated overlap scenarios:
+
+  - top-1 extraction-order accuracy + Kendall tau vs true loudness order
+  - pairwise ordering accuracy binned by loudness separation (how close
+    must two signals be before the net confuses them)
+  - uncertainty calibration: corr(predicted sigma, |ranking error|)
+  - comparison against the loudness-proxy fallback ranking
+
+Usage: python scripts/test_priority_net.py [--model model/priority_v1]
+           [--n-batches 20] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="model/priority_v1")
+    ap.add_argument("--n-batches", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="reports/priority_eval.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.stats import kendalltau
+    from posteriflow_tpu.train.train_priority import (PriorityTrainConfig,
+                                                      load_priority_net,
+                                                      make_priority_batch)
+    from posteriflow_tpu.utils.logging import setup_logging
+
+    log = setup_logging()
+    cfg = PriorityTrainConfig()
+    net, params = load_priority_net(
+        Path(args.model) / "priority_params.msgpack")
+
+    fwd = jax.jit(lambda s, c, m: net.apply(params, s, c, m))
+    batch_fn = jax.jit(lambda k: make_priority_batch(k, cfg))
+
+    top1 = top1_fb = 0
+    n_multi = 0
+    taus, taus_fb = [], []
+    pair_bins = {b: [0, 0] for b in ((0.0, 0.1), (0.1, 0.3), (0.3, 1.0),
+                                     (1.0, 10.0))}
+    sig_err = []
+    for i in range(args.n_batches):
+        segs, cand, mask, targets = batch_fn(
+            jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
+        scores, sigma = fwd(segs, cand, mask)
+        scores, sigma = np.asarray(scores), np.asarray(sigma)
+        mask_np = np.asarray(mask)
+        targets = np.asarray(targets)
+        for b in range(scores.shape[0]):
+            live = mask_np[b] > 0
+            k = int(live.sum())
+            if k < 2:
+                continue
+            n_multi += 1
+            sc, tg, sg = scores[b, live], targets[b, live], sigma[b, live]
+            # loudness fallback: candidate loudness proxy is feature 0 of
+            # the target construction — use targets' own order as truth,
+            # fallback = candidate Mc^{5/6}/d from physical params
+            m1, m2, d = (np.asarray(cand)[b, live, 0],
+                         np.asarray(cand)[b, live, 1],
+                         np.asarray(cand)[b, live, 2])
+            loud = (m1 * m2) ** 0.6 / (m1 + m2) ** 0.2
+            loud = loud ** (5.0 / 6.0) / np.maximum(d, 1.0)
+            true_order = np.argsort(-tg)
+            top1 += int(np.argmax(sc) == true_order[0])
+            top1_fb += int(np.argmax(loud) == true_order[0])
+            t = kendalltau(np.argsort(-sc), true_order).statistic
+            t_fb = kendalltau(np.argsort(-loud), true_order).statistic
+            if np.isfinite(t):
+                taus.append(t)
+            if np.isfinite(t_fb):
+                taus_fb.append(t_fb)
+            # pairwise accuracy by target separation
+            for a in range(k):
+                for c in range(a + 1, k):
+                    sep = abs(tg[a] - tg[c])
+                    correct = (sc[a] - sc[c]) * (tg[a] - tg[c]) > 0
+                    for (lo, hi), acc in pair_bins.items():
+                        if lo <= sep < hi:
+                            acc[0] += int(correct)
+                            acc[1] += 1
+            # uncertainty vs error
+            rank_err = float(np.abs(np.argsort(np.argsort(-sc))
+                                    - np.argsort(np.argsort(-tg))).mean())
+            sig_err.append((float(sg.mean()), rank_err))
+
+    sig_err = np.asarray(sig_err)
+    report = {
+        "n_scenarios": n_multi,
+        "top1": top1 / max(n_multi, 1),
+        "kendall_tau": float(np.mean(taus)) if taus else None,
+        "fallback_top1": top1_fb / max(n_multi, 1),
+        "fallback_kendall_tau": float(np.mean(taus_fb)) if taus_fb else
+        None,
+        "pairwise_acc_by_target_sep": {
+            f"[{lo},{hi})": (acc[0] / acc[1] if acc[1] else None)
+            for (lo, hi), acc in pair_bins.items()},
+        "uncertainty_error_corr": float(np.corrcoef(
+            sig_err[:, 0], sig_err[:, 1])[0, 1]) if len(sig_err) > 3
+        else None,
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,32 @@ def test_infer_cli_help_and_validation():
         m.main(["--ckpt", "x", "--inject", "--event", "GW150914"])
     with pytest.raises(SystemExit):
         m.main(["--ckpt", "x"])              # no source at all
+
+
+def test_repair_dataset(tmp_path):
+    """repair_dataset fixes mass ordering, drops non-finite events, and
+    writes repair provenance (reference: io_utils.py repair machinery)."""
+    import numpy as np
+    from posteriflow_tpu.data.io import (DatasetReader, DatasetWriter,
+                                         MetadataManager, repair_dataset)
+    p = tmp_path / "ds.h5"
+    rng = np.random.default_rng(0)
+    strain = rng.standard_normal((8, 3, 128)).astype(np.float16)
+    strain[2] = np.nan                          # event to drop
+    params = rng.uniform(10, 30, (8, 2, 11)).astype(np.float32)
+    params[1, 0, 0], params[1, 0, 1] = 10.0, 25.0   # ordering violation
+    with DatasetWriter(p, config={"v": 1}) as w:
+        w.append_batch({"strain": strain, "params": params,
+                        "n_sig": np.ones(8, np.int32),
+                        "sig_snr": 9.0 * np.ones((8, 2), np.float32)})
+    rep = repair_dataset(p)
+    assert rep["n_out"] == 7 and rep["dropped"] == 1
+    assert rep["swapped"] >= 1
+    r = DatasetReader(rep["out_path"])
+    pp = r.read("params", 0, 7)
+    assert (pp[..., 0] >= pp[..., 1] - 1e-6).all()
+    ss = r.read("strain", 0, 7).astype(np.float32)
+    assert np.isfinite(ss).all()
+    r.close()
+    meta = MetadataManager(rep["out_path"]).read()
+    assert meta["n_out"] == 7 and "repaired_from" in meta
