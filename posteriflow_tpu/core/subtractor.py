@@ -51,7 +51,7 @@ class AdaptiveSubtractor:
 
         strain_white [n_det, T] whitened TD; theta_draws [K, 11] posterior
         samples of the signal to remove. Returns residual + quality."""
-        d_w = data_white_fd(jnp.asarray(strain_white))
+        d_w = jax.jit(data_white_fd)(jnp.asarray(strain_white))
         h_mean, h_var = self._mean_template(
             jnp.asarray(theta_draws, dtype=jnp.float32))
 

@@ -45,19 +45,31 @@ def make_log_likelihood(strain_white_td: np.ndarray,
 
     strain_white_td: [n_det, T] whitened data. residual_fd subtracts
     already-extracted signals (the overlap subtract-and-reinfer loop)."""
-    d_w = data_white_fd(jnp.asarray(strain_white_td))
-    if residual_fd is not None:
-        d_w = d_w - residual_fd
+    # The strain and residual enter the jitted program as ARGUMENTS, not
+    # closure captures: jit constant-folds captured device arrays, which
+    # forces a device→host copy — unimplemented for complex arrays on the
+    # experimental axon TPU backend (and a silent recompile hazard
+    # elsewhere). The rfft also happens inside the jit (eager rfft runs
+    # per-primitive on axon: UNIMPLEMENTED).
+    strain = jnp.asarray(strain_white_td)
     if asd is None:
         asd = default_network_asd()
+    res = (residual_fd if residual_fd is not None
+           else jnp.zeros((strain.shape[0], strain.shape[1] // 2 + 1),
+                          dtype=jnp.complex64))
 
     @jax.jit
-    def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
+    def _log_l(theta_batch, strain_td, res_fd):
+        d_w = data_white_fd(strain_td) - res_fd
+
         def one(theta):
             h_w = signal_white_fd(theta, asd)              # [n_det, F]
             match = jnp.sum(jnp.real(d_w * jnp.conj(h_w)))
             return match - 0.5 * jnp.sum(jnp.abs(h_w) ** 2)
         return jax.vmap(one)(theta_batch)
+
+    def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
+        return _log_l(theta_batch, strain, res)
 
     return log_l
 
@@ -69,16 +81,24 @@ def symmetrized_log_q(engine, context: jnp.ndarray, rank: int,
     m1 ≥ m2, but the likelihood is symmetric (reference: importance.py:69-95).
     """
     model, scaler = engine.model, engine.scaler
-    r = jnp.full((theta.shape[0],), rank, dtype=jnp.int32)
-    ctx = jnp.broadcast_to(context, (theta.shape[0], context.shape[-1]))
 
-    def log_q_phys(t):
+    # jitted (the eager per-primitive path on the experimental axon TPU
+    # backend hits UNIMPLEMENTED inside the flow) and PADDED to a fixed
+    # batch shape (one compiled program across varying sample counts)
+    @jax.jit
+    def _log_q_phys(t, ctx, r):
         nll = model.apply(engine.params, ctx, t, r,
                           method=type(model).nll_from_context)
         return -nll + scaler.log_abs_det_jacobian(t)
 
+    def log_q_phys(t):
+        ctx = jnp.broadcast_to(context, (t.shape[0], context.shape[-1]))
+        r = jnp.full((t.shape[0],), rank, dtype=jnp.int32)
+        return _log_q_phys(t, ctx, r)
+
+    lqp = _padded(log_q_phys, 4096)
     swapped = theta.at[:, 0].set(theta[:, 1]).at[:, 1].set(theta[:, 0])
-    lq = jnp.stack([log_q_phys(theta), log_q_phys(swapped)])
+    lq = jnp.stack([lqp(theta), lqp(swapped)])
     # SUM, not average: pipeline folds samples into m1 >= m2 by swapping,
     # and the density of the folded variable is q(m1,m2) + q(m2,m1)
     # (matches the reference's unaveraged convention, importance.py:69-95).
@@ -126,6 +146,11 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
     """
     if log_prior_fn is None:
         log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
+    # fixed-shape evaluation: every distinct batch size would otherwise
+    # compile a fresh 4096-waveform likelihood program (minutes each on
+    # the tunneled chip); pad to one canonical size and slice
+    log_l_fn = _padded(log_l_fn, 4096)
+    log_prior_fn = _padded(log_prior_fn, 4096)
 
     keep = ~np.asarray(railed)                 # exclude railed draws
     theta = jnp.asarray(samples[keep], dtype=jnp.float32)
@@ -238,6 +263,21 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
     final.beta_ladder = ladder
     final.converged = converged
     return final
+
+
+def _padded(fn, block: int):
+    """Wrap a batched fn(theta [N, P]) -> [N] so every call evaluates at a
+    multiple of `block` rows (padding with the first row), then slices.
+    Keeps the jitted program count constant across varying batch sizes."""
+    def wrapped(theta):
+        theta = jnp.asarray(theta, dtype=jnp.float32)
+        n = theta.shape[0]
+        m = max(block, ((n + block - 1) // block) * block)
+        if m != n:
+            pad = jnp.broadcast_to(theta[:1], (m - n, theta.shape[1]))
+            theta = jnp.concatenate([theta, pad])
+        return fn(theta)[:n]
+    return wrapped
 
 
 def _gmm_draw(gm, n: int, rng) -> np.ndarray:

@@ -202,8 +202,13 @@ def prepare_simulated(params_list: List[dict] | np.ndarray,
     n_sig = arr.shape[0]
     cfg = SimConfig(prior=PriorConfig(max_signals=max(n_sig, 1)),
                     min_snr=0.0, psd_bands=psd_bands, add_noise=add_noise)
-    ev = simulate_event(jax.random.PRNGKey(seed), jnp.asarray(arr),
-                        jnp.asarray(n_sig), default_network_asd(), cfg)
+    # jit the whole event synthesis: eagerly, the experimental axon TPU
+    # backend per-primitive path hits UNIMPLEMENTED on linalg ops inside
+    # the PhenomD amplitude collocation (fine under jit, where XLA lowers
+    # them); CPU behavior is unchanged
+    ev = jax.jit(simulate_event, static_argnames=("cfg",))(
+        jax.random.PRNGKey(seed), jnp.asarray(arr),
+        jnp.asarray(n_sig), default_network_asd(), cfg)
     strain = np.asarray(ev.strain)
     quality, warnings = {}, []
     for i, det in enumerate(DETECTORS):

@@ -95,8 +95,11 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
     net = PriorityNet(d_model=cfg.d_model)
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
-    segs, cand, mask, targets = make_priority_batch(k_init, cfg)
-    params = net.init(k_init, segs, cand, mask)
+    # jitted: eager batch synthesis runs the waveform kernel per-primitive
+    # on the experimental axon TPU backend (UNIMPLEMENTED ops)
+    segs, cand, mask, targets = jax.jit(
+        lambda k: make_priority_batch(k, cfg))(k_init)
+    params = jax.jit(net.init)(k_init, segs, cand, mask)
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 

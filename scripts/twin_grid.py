@@ -34,6 +34,7 @@ def main(argv=None):
     from posteriflow_tpu.utils.logging import setup_logging
     log = setup_logging()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from posteriflow_tpu.inference import infer, load_model, prepare_simulated
@@ -43,14 +44,18 @@ def main(argv=None):
     engine = load_model(args.ckpt, args.name)
     asd = default_network_asd()
 
+    # jitted: eager PhenomD hits the axon backend's per-primitive
+    # UNIMPLEMENTED path (fine under jit)
+    snr_jit = jax.jit(lambda th: jnp.sqrt(jnp.sum(
+        jnp.abs(signal_white_fd(th, asd)) ** 2)))
+
     def snr_of(p):
         theta = jnp.asarray([p["mass_1"], p["mass_2"],
                              p["luminosity_distance"], p["ra"], p["dec"],
                              p["theta_jn"], p["psi"], p["phase"],
                              p["geocent_time"], p["a1"], p["a2"]],
                             dtype=jnp.float32)
-        h = signal_white_fd(theta, asd)
-        return float(jnp.sqrt(jnp.sum(jnp.abs(h) ** 2)))
+        return float(snr_jit(theta))
 
     grid = []
     for mc in np.geomspace(12.0, 45.0, args.mc_grid):

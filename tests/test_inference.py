@@ -129,12 +129,15 @@ def test_bias_map_cell_trips_distrust():
     """A posterior whose median lands in a measured severe-bias twin-grid
     cell must trip parameter-level distrust with the CELL cited (round-1
     gap: the bias map was never loaded — VERDICT item 7)."""
-    from posteriflow_tpu.inference.gating import bias_region, load_bias_map
-    bias_map = load_bias_map()
-    if bias_map is None:
-        import pytest
-        pytest.skip("no analysis/twin_grid.json artifact")
-    # medians near the (mc=12, q=0.35) cell (measured mc bias 0.34 > 0.3)
+    from posteriflow_tpu.inference.gating import bias_region
+    # synthetic grid with one severe cell at (mc=12, q=0.35) — independent
+    # of the committed artifact, which is regenerated per flagship
+    bias_map = {"grid": [
+        {"mc": 12.0, "q": 0.35, "mc_bias_frac_mean": 0.34,
+         "q_bias_mean": -0.10},
+        {"mc": 30.0, "q": 0.75, "mc_bias_frac_mean": 0.02,
+         "q_bias_mean": 0.05},
+    ]}
     rng = np.random.default_rng(2)
     m1 = rng.normal(20.0, 0.5, 500)
     m2 = rng.normal(7.0, 0.3, 500)
@@ -142,6 +145,7 @@ def test_bias_map_cell_trips_distrust():
                               + [rng.uniform(0, 1, 500) for _ in range(8)])
     region = bias_region(10.0, 0.35, bias_map)
     assert region["severe_mass_bias"], region
+    assert not bias_region(29.0, 0.76, bias_map)["severe_mass_bias"]
     out = refinement_gate("HIGH", 50.0, 0.0, samples, bias_map=bias_map)
     assert out["distrust"] == ["mass_1", "mass_2"]
     assert any("bias cell" in r for r in out["reasons"]), out["reasons"]
