@@ -7,6 +7,7 @@ from posteriflow_tpu.inference.gating import refinement_gate
 from posteriflow_tpu.inference.importance import (ISResult,
                                                   importance_correct,
                                                   make_log_likelihood,
+                                                  make_marginalized_log_likelihood,
                                                   symmetrized_log_q)
 from posteriflow_tpu.inference.ood import (ContextStats, confidence_verdict,
                                            fit_context_stats, score_context)
@@ -25,6 +26,7 @@ __all__ = [
     "PosteriorResult", "PreparedData", "prepare_real", "prepare_simulated",
     "fetch_gwosc", "fit_context_stats", "score_context",
     "confidence_verdict", "ContextStats", "refinement_gate",
-    "importance_correct", "make_log_likelihood", "symmetrized_log_q",
+    "importance_correct", "make_log_likelihood",
+    "make_marginalized_log_likelihood", "symmetrized_log_q",
     "ISResult", "rank_overlapping",
 ]

@@ -54,13 +54,18 @@ def make_log_likelihood(strain_white_td: np.ndarray,
     strain = jnp.asarray(strain_white_td)
     if asd is None:
         asd = default_network_asd()
-    res = (residual_fd if residual_fd is not None
-           else jnp.zeros((strain.shape[0], strain.shape[1] // 2 + 1),
-                          dtype=jnp.complex64))
+    # residual crosses the jit boundary as float real/imag planes: the
+    # axon backend cannot even materialize a complex array eagerly
+    n_det, n_td = np.shape(strain_white_td)
+    if residual_fd is not None:
+        res_ri = jax.jit(lambda r: jnp.stack([jnp.real(r),
+                                              jnp.imag(r)]))(residual_fd)
+    else:
+        res_ri = np.zeros((2, n_det, n_td // 2 + 1), dtype=np.float32)
 
     @jax.jit
-    def _log_l(theta_batch, strain_td, res_fd):
-        d_w = data_white_fd(strain_td) - res_fd
+    def _log_l(theta_batch, strain_td, res):
+        d_w = data_white_fd(strain_td) - (res[0] + 1j * res[1])
 
         def one(theta):
             h_w = signal_white_fd(theta, asd)              # [n_det, F]
@@ -69,7 +74,58 @@ def make_log_likelihood(strain_white_td: np.ndarray,
         return jax.vmap(one)(theta_batch)
 
     def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
-        return _log_l(theta_batch, strain, res)
+        return _log_l(theta_batch, strain, res_ri)
+
+    return log_l
+
+
+def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
+                                     asd: Optional[jnp.ndarray] = None,
+                                     residual_fd: Optional[jnp.ndarray]
+                                     = None):
+    """Whittle log-likelihood ratio with coalescence PHASE and TIME
+    analytically marginalized (the reference's GravitationalWaveTransient
+    setup, importance.py:103-139): the returned log L(θ) is independent of
+    θ[phase] and θ[geocent_time].
+
+    Why: the flow's ~10 ms t_c posterior width spans many interference
+    fringes of the full likelihood, so unmarginalized IS weights have
+    near-zero ESS no matter how good the flow is. Marginalization:
+      phase — (2,2)-dominant waveform ⇒ ∫ dφ_c/2π e^{Re[z e^{-2iφ_c}]}
+               = I₀(|z|);
+      time  — the complex matched-filter series z(t) over all circular
+               shifts via one inverse FFT, averaged uniformly (the t_c
+               prior, up to a constant).
+    """
+    strain = jnp.asarray(strain_white_td)
+    if asd is None:
+        asd = default_network_asd()
+    n_det, n_td = np.shape(strain_white_td)
+    if residual_fd is not None:
+        res_ri = jax.jit(lambda r: jnp.stack([jnp.real(r),
+                                              jnp.imag(r)]))(residual_fd)
+    else:
+        res_ri = np.zeros((2, n_det, n_td // 2 + 1), dtype=np.float32)
+
+    @jax.jit
+    def _log_l(theta_batch, strain_td, res):
+        d_w = data_white_fd(strain_td) - (res[0] + 1j * res[1])
+
+        def one(theta):
+            th0 = theta.at[7].set(0.0).at[8].set(0.0)
+            h_w = signal_white_fd(th0, asd)                # [n_det, F]
+            x = jnp.sum(d_w * jnp.conj(h_w), axis=0)       # [F] complex
+            pad = jnp.zeros((n_td - x.shape[0],), dtype=x.dtype)
+            z = jnp.fft.ifft(jnp.concatenate([x, pad])) * n_td
+            absz = jnp.abs(z)                              # [T] all shifts
+            log_i0 = jnp.log(jax.scipy.special.i0e(absz)) + absz
+            log_mean = (jax.scipy.special.logsumexp(log_i0)
+                        - jnp.log(float(n_td)))
+            return log_mean - 0.5 * jnp.sum(jnp.abs(h_w) ** 2)
+        return jax.vmap(one)(theta_batch)
+
+    def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
+        return _log_l(theta_batch, strain, res_ri)
 
     return log_l
 
@@ -241,7 +297,13 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
             n_components=min(10, max(2, len(np.unique(idx)) // 30)),
             covariance_type="full", reg_covar=1e-5,
             random_state=seed).fit(xs)
-        gm.covariances_ *= 1.69                # defensive widening (×1.3/axis)
+        # defensive widening, ANNEALED BY STAGE: early stages need tail
+        # coverage (×1.3/axis, the reference's choice), but in 11-D that
+        # is an 18× volume re-inflation — kept every stage it exactly
+        # cancels each rung's tempering and γ goes stationary (measured:
+        # γ ≈ 0.1 for 25 stages on a sharp posterior). Later stages widen
+        # only mildly so progress compounds.
+        gm.covariances_ *= 1.69 if stage < 3 else 1.1
         gm.precisions_cholesky_ = _compute_precision_cholesky(
             gm.covariances_, "full")
         n_gm = int(round(n * (1.0 - prior_mix)))
@@ -375,7 +437,7 @@ def _pick_gamma(delta: np.ndarray, target_frac: float) -> float:
     # the γ = 1 hop is exact at ANY ESS (it is plain IS against a known
     # density) — accept it at a lower bar than intermediate rungs rather
     # than rejuvenating forever on a proposal the GMM cannot improve
-    if ess_frac(1.0) >= min(target_frac, 0.05):
+    if ess_frac(1.0) >= min(target_frac, 0.02):
         return 1.0
     target = min(target_frac, max(ess_frac(1e-3) * 0.5, 0.02))
     a, b = 0.0, 1.0

@@ -34,7 +34,7 @@ def extract_segments(strain: np.ndarray, t_offs: np.ndarray) -> np.ndarray:
 
 
 _DEFAULT_NET = None
-_DEFAULT_NET_PATH = Path("model/priority_v1/priority_params.msgpack")
+_DEFAULT_NET_PATH = Path("model/priority_v2/priority_params.msgpack")
 
 
 def _default_priority_net():

@@ -52,8 +52,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
     from posteriflow_tpu.inference import (importance_correct, infer,
-                                           make_log_likelihood,
                                            prepare_simulated)
+    from posteriflow_tpu.inference.importance import \
+        make_marginalized_log_likelihood
     from posteriflow_tpu.inference.pipeline import InferenceEngine
     from posteriflow_tpu.utils.logging import setup_logging
 
@@ -71,7 +72,7 @@ def main(argv=None):
                     seed=args.seed + i)
         ctx = engine.encode(jnp.asarray(prep.strain)[None],
                             jnp.asarray(prep.asd_bands)[None])
-        log_l = make_log_likelihood(prep.strain)
+        log_l = make_marginalized_log_likelihood(prep.strain)
         is_res = importance_correct(engine, ctx[0], 0, res.samples,
                                     res.log_prob, res.railed, log_l,
                                     seed=args.seed + i)

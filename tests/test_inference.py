@@ -302,3 +302,28 @@ def test_gwtc_catalog_depth_and_gps():
     e = gl.get_event("GW200311_115853")
     assert 25 < e["mass_1"] < 45 and e["gps"] > 1267000000
     assert gl.get_event("GW200115")["event_type"] == "NSBH"
+
+
+def test_marginalized_likelihood_properties():
+    """The phase/time-marginalized Whittle likelihood must (a) be exactly
+    independent of theta[phase] and theta[geocent_time], (b) prefer the
+    true slow parameters over wrong masses, and (c) never exceed the peak
+    of the full likelihood over its own phase/time (it is an average)."""
+    from posteriflow_tpu.inference.importance import (
+        make_marginalized_log_likelihood)
+    prep = prepare_simulated([BBH], seed=11, add_noise=False)
+    log_lm = make_marginalized_log_likelihood(prep.strain)
+    truth = np.array([[BBH[k] for k in PARAM_NAMES]], dtype=np.float32)
+    shifted = truth.copy()
+    shifted[0, 7] = 4.0          # phase
+    shifted[0, 8] = -0.9         # geocent_time
+    wrong = truth.copy()
+    wrong[0, 0], wrong[0, 1] = 80.0, 10.0
+    ll = np.asarray(log_lm(jnp.asarray(np.vstack([truth, shifted, wrong]))))
+    assert abs(ll[0] - ll[1]) < 1e-3, ll       # tc/phase independence
+    assert ll[0] > ll[2] + 10.0, ll            # slow-parameter preference
+    log_lf = make_log_likelihood(prep.strain)
+    ll_full = float(np.asarray(log_lf(jnp.asarray(truth)))[0])
+    assert ll[0] <= ll_full + 1e-3             # marginal <= full at truth
+    assert ll[0] > ll_full - 25.0              # ...but within the
+    #                                            marginalization volume
