@@ -99,7 +99,7 @@ class BiasCorrector:
         z = (centered @ evecs) * inflate
         y_new = mean + z @ evecs.T + jnp.mean(corr, axis=0, keepdims=True)
         y_new = self.scaler.wrap(y_new)
-        out = np.asarray(self.scaler.denormalize(y_new))
+        out = np.array(self.scaler.denormalize(y_new))   # writable copy
         # explicit physics bound beyond the scaler box: mass ordering
         m1 = np.maximum(out[:, 0], out[:, 1])
         m2 = np.minimum(out[:, 0], out[:, 1])

@@ -54,8 +54,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if jax.process_count() > 1:
-        return jax.process_count()          # already initialized
+    # already-initialized check WITHOUT touching the backend —
+    # jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize() refuses to run
+    from jax._src import distributed as _dist_state
+    if getattr(_dist_state.global_state, "client", None) is not None:
+        return jax.process_count()
     if coordinator_address is None and num_processes in (None, 1):
         return 1                            # single-process run
     jax.distributed.initialize(coordinator_address=coordinator_address,
