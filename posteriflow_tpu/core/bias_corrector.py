@@ -87,17 +87,17 @@ class BiasCorrector:
             (y.shape[0], self.STAGE_FEATS))
         corr, _sigma, vscale = self.model.apply(self.params, y, feats)
         mean = jnp.mean(y, axis=0, keepdims=True)
-        # correlation-preserving inflation: rescale the cloud in its own
-        # principal-component basis. A naive per-dimension rescale would
-        # destroy the mass/distance/inclination degeneracy directions; a
-        # uniform PC inflation (the vscale average) widens the posterior
-        # while keeping its correlation structure exactly.
+        # correlation-preserving inflation: a UNIFORM rescale of the
+        # centered cloud (the vscale average). A per-dimension rescale
+        # would destroy the mass/distance/inclination degeneracy
+        # directions; a uniform scale widens the posterior while keeping
+        # its correlation structure exactly — and is identical to rotating
+        # into the PC basis, scaling every direction equally, and rotating
+        # back, without the eigendecomposition.
         centered = y - mean
-        cov = jnp.cov(centered.T) + 1e-8 * jnp.eye(y.shape[1])
-        _evals, evecs = jnp.linalg.eigh(cov)
         inflate = jnp.sqrt(jnp.mean(vscale))
-        z = (centered @ evecs) * inflate
-        y_new = mean + z @ evecs.T + jnp.mean(corr, axis=0, keepdims=True)
+        y_new = mean + centered * inflate + jnp.mean(corr, axis=0,
+                                                     keepdims=True)
         y_new = self.scaler.wrap(y_new)
         out = np.array(self.scaler.denormalize(y_new))   # writable copy
         # explicit physics bound beyond the scaler box: mass ordering

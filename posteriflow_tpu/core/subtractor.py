@@ -29,6 +29,11 @@ from posteriflow_tpu.physics.simulator import signal_white_fd
 from posteriflow_tpu.physics.whiten import fd_white_to_td
 from posteriflow_tpu.inference.importance import data_white_fd
 
+# module-level jit: a fresh jax.jit() inside subtract() would carry its own
+# trace cache, so every call retraces (and, without the persistent
+# compilation cache, recompiles — minutes through the tunneled TPU)
+_data_white_fd_jit = jax.jit(data_white_fd)
+
 
 class AdaptiveSubtractor:
     def __init__(self, asd: Optional[jnp.ndarray] = None,
@@ -51,7 +56,7 @@ class AdaptiveSubtractor:
 
         strain_white [n_det, T] whitened TD; theta_draws [K, 11] posterior
         samples of the signal to remove. Returns residual + quality."""
-        d_w = jax.jit(data_white_fd)(jnp.asarray(strain_white))
+        d_w = _data_white_fd_jit(jnp.asarray(strain_white))
         h_mean, h_var = self._mean_template(
             jnp.asarray(theta_draws, dtype=jnp.float32))
 

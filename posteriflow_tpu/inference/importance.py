@@ -94,8 +94,11 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
       phase — (2,2)-dominant waveform ⇒ ∫ dφ_c/2π e^{Re[z e^{-2iφ_c}]}
                = I₀(|z|);
       time  — the complex matched-filter series z(t) over all circular
-               shifts via one inverse FFT, averaged uniformly (the t_c
-               prior, up to a constant).
+               shifts via one inverse FFT, averaged uniformly over the
+               shifts inside the t_c PRIOR window [_T_OFF_LO, _T_OFF_HI]
+               (matching log_prior_bbh — marginalizing over the whole
+               segment would let likelihood peaks outside the prior
+               support leak a θ-dependent offset into the evidence).
     """
     strain = jnp.asarray(strain_white_td)
     if asd is None:
@@ -106,6 +109,16 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
                                               jnp.imag(r)]))(residual_fd)
     else:
         res_ri = np.zeros((2, n_det, n_td // 2 + 1), dtype=np.float32)
+
+    # shift index j ↔ t_off = j/fs (wrapping: j ≥ n/2 ↔ (j−n)/fs); keep
+    # only shifts inside the t_c prior window so the marginal matches the
+    # prior actually used in the IS weights
+    from posteriflow_tpu.physics.constants import SAMPLE_RATE
+    from posteriflow_tpu.prior import _T_OFF_HI, _T_OFF_LO
+    _j = np.arange(n_td)
+    _t_of_j = np.where(_j < n_td // 2, _j, _j - n_td) / float(SAMPLE_RATE)
+    _in_window = jnp.asarray((_t_of_j >= _T_OFF_LO) & (_t_of_j <= _T_OFF_HI))
+    _n_window = float(np.sum((_t_of_j >= _T_OFF_LO) & (_t_of_j <= _T_OFF_HI)))
 
     @jax.jit
     def _log_l(theta_batch, strain_td, res):
@@ -119,8 +132,9 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
             z = jnp.fft.ifft(jnp.concatenate([x, pad])) * n_td
             absz = jnp.abs(z)                              # [T] all shifts
             log_i0 = jnp.log(jax.scipy.special.i0e(absz)) + absz
+            log_i0 = jnp.where(_in_window, log_i0, -jnp.inf)
             log_mean = (jax.scipy.special.logsumexp(log_i0)
-                        - jnp.log(float(n_td)))
+                        - jnp.log(_n_window))
             return log_mean - 0.5 * jnp.sum(jnp.abs(h_w) ** 2)
         return jax.vmap(one)(theta_batch)
 
@@ -285,6 +299,12 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
         log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
         if gamma >= 1.0 - 1e-9:
             converged = True
+            break
+        if stage == max_stages - 1:
+            # out of stages: do NOT rejuvenate — the returned cloud must be
+            # the one log_w was computed for (a post-rejuvenation cur would
+            # pair fresh particles with stale weights, making samples/ESS/
+            # logZ mutually inconsistent on every non-converged run)
             break
         # rejuvenate: refit a mixture on the tempered target, redraw, and
         # TRACK its exact density as the next stage's proposal

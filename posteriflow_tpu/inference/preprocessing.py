@@ -33,6 +33,21 @@ from posteriflow_tpu.physics.psd import default_network_psd
 
 _DESIGN_ASD = np.sqrt(default_network_psd())          # [3, N_RFFT] physical
 
+# One module-level jitted simulator shared across prepare_simulated calls
+# (a fresh jax.jit() per call would retrace/recompile every invocation —
+# minutes each through the tunneled TPU). Built lazily: this module must
+# stay importable without jax for the pure-numpy real-data path.
+_SIM_JIT = None
+
+
+def _simulate_event_jit(*args):
+    global _SIM_JIT
+    if _SIM_JIT is None:
+        import jax
+        from posteriflow_tpu.physics.simulator import simulate_event
+        _SIM_JIT = jax.jit(simulate_event, static_argnames=("cfg",))
+    return _SIM_JIT(*args)
+
 
 @dataclasses.dataclass
 class PreparedData:
@@ -206,7 +221,7 @@ def prepare_simulated(params_list: List[dict] | np.ndarray,
     # backend per-primitive path hits UNIMPLEMENTED on linalg ops inside
     # the PhenomD amplitude collocation (fine under jit, where XLA lowers
     # them); CPU behavior is unchanged
-    ev = jax.jit(simulate_event, static_argnames=("cfg",))(
+    ev = _simulate_event_jit(
         jax.random.PRNGKey(seed), jnp.asarray(arr),
         jnp.asarray(n_sig), default_network_asd(), cfg)
     strain = np.asarray(ev.strain)

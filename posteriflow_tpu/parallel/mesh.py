@@ -56,15 +56,29 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     # already-initialized check WITHOUT touching the backend —
     # jax.process_count() would initialize XLA, after which
-    # jax.distributed.initialize() refuses to run
-    from jax._src import distributed as _dist_state
-    if getattr(_dist_state.global_state, "client", None) is not None:
+    # jax.distributed.initialize() refuses to run. Prefer the public API
+    # (newer JAX); fall back to the private state probe, whose layout may
+    # drift across releases — hence also the RuntimeError catch below.
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist_state
+            already = getattr(_dist_state.global_state, "client",
+                              None) is not None
+        except Exception:
+            already = False
+    if already:
         return jax.process_count()
     if coordinator_address is None and num_processes in (None, 1):
         return 1                            # single-process run
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:               # last-resort re-entry guard
+        if "already initialized" not in str(e).lower():
+            raise
     log.info("jax.distributed: process %d/%d, %d local / %d global devices",
              jax.process_index(), jax.process_count(),
              jax.local_device_count(), jax.device_count())
