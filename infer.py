@@ -38,6 +38,11 @@ def main(argv=None):
     src.add_argument("--inject", action="store_true",
                      help="fresh simulated injection")
     ap.add_argument("--gps", type=float, help="GPS time for --strain")
+    ap.add_argument("--asd", nargs="+",
+                    help="measured ASD/PSD txt file(s), 'DET:path' or one "
+                         "per detector in H1 L1 V1 order (reference: "
+                         "infer.py --psd); overrides the median-ASD "
+                         "estimate in the real-strain path")
     ap.add_argument("--inject-params",
                     help="JSON file/string: list of parameter dicts")
     ap.add_argument("--rank", type=int, default=0)
@@ -62,6 +67,17 @@ def main(argv=None):
 
     engine = load_model(args.ckpt, args.name)
 
+    asd_by_det = None
+    if args.asd:
+        from posteriflow_tpu.physics.psd import load_asd_file
+        dets = ("H1", "L1", "V1")
+        asd_by_det = {}
+        for i, spec in enumerate(args.asd):
+            det, _, path = spec.rpartition(":") if ":" in spec \
+                else (dets[i], ":", spec)
+            asd_by_det[det] = load_asd_file(path)
+        log.info("measured ASD override: %s", sorted(asd_by_det))
+
     # ── data source dispatch ──────────────────────────────────────────────────
     if args.inject:
         if args.inject_params:
@@ -85,7 +101,8 @@ def main(argv=None):
         from posteriflow_tpu.inference import fetch_gwosc
         strain_by_det, gps = fetch_gwosc(event=args.event)
         prepared = prepare_real(strain_by_det, gps_time=gps,
-                                psd_bands=engine.cfg.npe.psd_bands)
+                                psd_bands=engine.cfg.npe.psd_bands,
+                                asd_by_det=asd_by_det)
     else:
         files = args.strain
         if len(files) == 1:
@@ -96,7 +113,8 @@ def main(argv=None):
             strain_by_det = {Path(f).stem.split("_")[0]: np.load(f)
                              for f in files}
         prepared = prepare_real(strain_by_det, gps_time=args.gps or 0.0,
-                                psd_bands=engine.cfg.npe.psd_bands)
+                                psd_bands=engine.cfg.npe.psd_bands,
+                                asd_by_det=asd_by_det)
 
     outdir = Path(args.out)
     outdir.mkdir(parents=True, exist_ok=True)

@@ -133,10 +133,17 @@ def _highpass(x: np.ndarray, fs: int, fc: float = 15.0) -> np.ndarray:
 def prepare_real(strain_by_det: Dict[str, np.ndarray],
                  gps_time: float = GPS_REF,
                  sample_rate: int = SAMPLE_RATE,
-                 psd_bands: int = 16) -> PreparedData:
+                 psd_bands: int = 16,
+                 asd_by_det: Optional[Dict[str, np.ndarray]] = None
+                 ) -> PreparedData:
     """Long (≥16 s, ideally 64 s) RAW strain per detector, centered on the
     event -> whitened 4 s analysis window (reference real path:
-    preprocessing.py:103-158). Missing detectors get unit white noise."""
+    preprocessing.py:103-158). Missing detectors get unit white noise.
+
+    asd_by_det: optional measured PHYSICAL ASDs on the FREQS grid
+    (physics.psd.load_asd_file output), overriding the median-ASD estimate
+    per detector — the reference's bilby --psd file path
+    (infer.py --psd, bilby_pipeline.py:95-99)."""
     t0 = time.time()
     timings = {}
     rng = np.random.default_rng(12345)
@@ -153,13 +160,18 @@ def prepare_real(strain_by_det: Dict[str, np.ndarray],
         present.append(det)
         x = np.asarray(raw, dtype=np.float64)
         x = _highpass(x, sample_rate)
-        seg_asd = _median_asd(x, sample_rate)
-        # interpolate measured ASD (on the long-segment grid) to the 4 s grid
-        f_long = np.fft.rfftfreq(int(4.0 * sample_rate), 1.0 / sample_rate)
-        f_est = np.fft.rfftfreq((len(x) // int(4.0 * sample_rate))
-                                and int(4.0 * sample_rate),
-                                1.0 / sample_rate)
-        asd4 = np.interp(FREQS, f_est[:len(seg_asd)], seg_asd)
+        if asd_by_det is not None and det in asd_by_det:
+            asd4 = np.asarray(asd_by_det[det], dtype=np.float64)
+            if asd4.shape != FREQS.shape:
+                raise ValueError(f"{det}: ASD override must be on the FREQS "
+                                 f"grid ({FREQS.shape[0]} bins)")
+        else:
+            seg_asd = _median_asd(x, sample_rate)
+            # interpolate measured ASD (long-segment grid) to the 4 s grid
+            f_est = np.fft.rfftfreq((len(x) // int(4.0 * sample_rate))
+                                    and int(4.0 * sample_rate),
+                                    1.0 / sample_rate)
+            asd4 = np.interp(FREQS, f_est[:len(seg_asd)], seg_asd)
         asds[i] = asd4
 
         # manual whitening of the whole segment, then cut the window

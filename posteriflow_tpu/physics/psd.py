@@ -71,6 +71,57 @@ def default_network_asd(freqs: np.ndarray = FREQS) -> jnp.ndarray:
                        dtype=jnp.float32)
 
 
+def load_asd_file(path, freqs: np.ndarray = FREQS) -> np.ndarray:
+    """Measured ASD/PSD text file -> float64 physical ASD on the rfft grid.
+
+    The reference consumes measured spectra through bilby's
+    PowerSpectralDensity file machinery (src/ahsd/data/bilby_pipeline.py:
+    95-99 via _make_psd, and infer.py --psd); this is the TPU framework's
+    equivalent for the standard two-column (frequency, value) text format
+    GWOSC/LVK publish (whitespace- or comma-separated, '#' comments).
+
+    - auto-detects ASD vs PSD by magnitude (ASDs ~1e-24..1e-19 strain/√Hz;
+      PSDs are their squares, ≤1e-38) and returns the ASD;
+    - log-log interpolation onto `freqs` (spectra are smooth in log-log;
+      linear interp would overshoot across decades), edge-held outside the
+      file's span;
+    - below the file's first frequency or 10 Hz the seismic-wall cap
+      sqrt(PSD_CAP) applies, matching the analytic curves' convention.
+
+    Feed the result to asd_from_psd(asd**2) — or directly multiply by
+    STRAIN_SCALE — for the device-side scaled-ASD convention.
+    """
+    raw = np.loadtxt(path, comments="#", delimiter=None)
+    if raw.ndim != 2 or raw.shape[1] < 2:
+        raise ValueError(f"{path}: expected columns (frequency, ASD|PSD)")
+    f_file = np.asarray(raw[:, 0], dtype=np.float64)
+    v_file = np.asarray(raw[:, 1], dtype=np.float64)
+    good = (f_file > 0) & (v_file > 0) & np.isfinite(v_file)
+    f_file, v_file = f_file[good], v_file[good]
+    if f_file.size < 2:
+        raise ValueError(f"{path}: fewer than 2 usable rows")
+    order = np.argsort(f_file)
+    f_file, v_file = f_file[order], v_file[order]
+    if np.median(v_file) < 1e-30:                 # PSD magnitudes
+        v_file = np.sqrt(v_file)
+    f = np.maximum(np.asarray(freqs, dtype=np.float64), 1e-3)
+    asd = np.exp(np.interp(np.log(f), np.log(f_file), np.log(v_file)))
+    wall = max(10.0, float(f_file[0]))
+    return np.where(np.asarray(freqs) < wall, np.sqrt(PSD_CAP), asd)
+
+
+def load_network_asd(paths, freqs: np.ndarray = FREQS) -> jnp.ndarray:
+    """Per-detector ASD files -> [n_det, N_RFFT] float32 DEVICE array in
+    scaled strain units. `paths`: dict {det: path} (missing detectors fall
+    back to the design curve) or a sequence ordered like DETECTORS."""
+    if isinstance(paths, dict):
+        rows = [load_asd_file(paths[d], freqs) if d in paths
+                else np.sqrt(psd_for(d, freqs)) for d in DETECTORS]
+    else:
+        rows = [load_asd_file(p, freqs) for p in paths]
+    return jnp.asarray(np.stack(rows) * STRAIN_SCALE, dtype=jnp.float32)
+
+
 def asd_from_psd(psd: np.ndarray) -> jnp.ndarray:
     """Host float64 physical PSD -> device float32 ASD in scaled strain
     units (× constants.STRAIN_SCALE)."""

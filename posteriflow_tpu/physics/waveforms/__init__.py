@@ -17,17 +17,26 @@ from posteriflow_tpu.physics.waveforms.phenomd import (phenomd_amp_phase,
 from posteriflow_tpu.physics.waveforms.taylorf2 import (isco_frequency,
                                                         taylorf2_amp_phase,
                                                         taylorf2_polarizations)
+from posteriflow_tpu.physics.waveforms.tidal import (
+    lambda_from_mass, matter_effects, phenomd_matter_polarizations,
+    tidal_phase)
 
-# the framework-wide production IMR approximant
-imr_polarizations = phenomd_polarizations
+# the framework-wide production approximant: PhenomD with mass-keyed matter
+# effects — the branchless equivalent of the reference's per-event-type
+# dispatch (bilby_pipeline.py:42-47): BBH reduces bit-exactly to PhenomD,
+# BNS gets tidal phase + merger taper, NSBH secondary tidal + disruption
+# taper (tidal.py)
+imr_polarizations = phenomd_matter_polarizations
 
 APPROXIMANTS = {
     "TaylorF2": taylorf2_polarizations,
     "IMRPhenomD": phenomd_polarizations,
+    "IMRPhenomD_Matter": phenomd_matter_polarizations,   # production
     "IMRPhenomJ": imr_stitch_polarizations,   # round-1 stitch (baseline)
 }
 
 __all__ = ["APPROXIMANTS", "taylorf2_polarizations", "taylorf2_amp_phase",
            "isco_frequency", "imr_polarizations", "phenomd_polarizations",
-           "phenomd_amp_phase", "imr_stitch_polarizations", "final_state",
-           "qnm_frequency"]
+           "phenomd_amp_phase", "phenomd_matter_polarizations",
+           "matter_effects", "tidal_phase", "lambda_from_mass",
+           "imr_stitch_polarizations", "final_state", "qnm_frequency"]

@@ -1,0 +1,55 @@
+"""Measured ASD/PSD file ingestion (physics/psd.py::load_asd_file) — the
+framework's equivalent of the reference's bilby PSD-file path
+(src/ahsd/data/bilby_pipeline.py:95-99, infer.py --psd)."""
+
+import numpy as np
+import pytest
+
+from posteriflow_tpu.physics import constants as C
+from posteriflow_tpu.physics.psd import (default_network_psd, load_asd_file,
+                                         load_network_asd)
+
+
+@pytest.fixture()
+def asd_file(tmp_path):
+    f = np.geomspace(12.0, 2048.0, 400)
+    asd = 1e-23 * (f / 100.0) ** -0.5 + 3e-24
+    path = tmp_path / "H1_asd.txt"
+    np.savetxt(path, np.c_[f, asd], header="f asd")
+    return path, f, asd
+
+
+def test_asd_interpolated_onto_grid(asd_file):
+    path, f, asd = asd_file
+    out = load_asd_file(path)
+    assert out.shape == C.FREQS.shape
+    i100 = int(100.0 / C.DELTA_F)
+    assert abs(out[i100] - 1.3e-23) < 1e-26
+    # seismic wall below the file's first frequency
+    assert out[int(5.0 / C.DELTA_F)] > 1e-20
+
+
+def test_psd_file_autodetected(asd_file, tmp_path):
+    path, f, asd = asd_file
+    p2 = tmp_path / "H1_psd.txt"
+    np.savetxt(p2, np.c_[f, asd ** 2])
+    a1, a2 = load_asd_file(path), load_asd_file(p2)
+    band = slice(int(20 / C.DELTA_F), None)
+    np.testing.assert_allclose(a1[band], a2[band], rtol=1e-6)
+
+
+def test_network_fallback_to_design(asd_file):
+    path, _, _ = asd_file
+    net = np.asarray(load_network_asd({"H1": path}))
+    assert net.shape == (3, C.N_RFFT)
+    design = np.sqrt(default_network_psd()) * C.STRAIN_SCALE
+    np.testing.assert_allclose(net[2], design[2].astype(np.float32),
+                               rtol=1e-6)
+    assert not np.allclose(net[0], design[0].astype(np.float32))
+
+
+def test_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("# only comments\n")
+    with pytest.raises(Exception):
+        load_asd_file(bad)
