@@ -103,6 +103,14 @@ _EXTENDED = {
     "GW200225_060421": (19.3, 14.0, 1150.0, "GWTC-3", None),
     "GW200311_115853": (34.2, 27.7, 1170.0, "GWTC-3", None),
     "GW200316_215756": (13.1, 7.8, 1120.0, "GWTC-3", None),
+    # ── GWTC-4 (O4a) ─────────────────────────────────────────────────────
+    # Published exceptional-event medians (GW230529: arXiv 2404.04248 —
+    # mass-gap primary + NS; GW231123: the ~massive BBH). Any other
+    # GWTC-4 event still resolves through gps_from_name for GPS lookup;
+    # full parameter tables ride the gated GWOSC API when network exists
+    # (reference: gwtc_loader.py GWTC-4 API path, :55-630).
+    "GW230529_181500": (3.6, 1.4, 200.0, "GWTC-4", "NSBH"),
+    "GW231123_135430": (137.0, 103.0, 2200.0, "GWTC-4", None),
 }
 
 for _name, (_m1, _m2, _dl, _cat, _etype) in _EXTENDED.items():

@@ -109,10 +109,17 @@ def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter):  # pragma: no cover
             "n_like_calls": int(res.ncall.sum())}
 
 
-def _nested_fallback(log_l, nlive, dlogz, seed, maxiter):
-    """Minimal vectorized nested sampler (resample-from-live proposals with
-    Gaussian jitter). Smoke-grade: validates conventions and provides an
-    offline baseline, not a production sampler."""
+def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
+                     n_prop: int = 64):
+    """Minimal nested sampler with BATCHED proposals. Smoke-grade:
+    validates conventions and provides an offline baseline, not a
+    production sampler.
+
+    TPU-shaped: each iteration evaluates all `n_prop` jittered proposals
+    in ONE fixed-shape likelihood call and accepts the FIRST that clears
+    the threshold — statistically identical to the textbook sequential
+    retry loop, but one device dispatch instead of up to n_prop (through
+    the tunneled chip, per-call dispatch would dominate the wall time)."""
     rng = np.random.default_rng(seed)
     u = rng.uniform(size=(nlive, len(PARAM_NAMES)))
     theta = prior_transform(u)
@@ -126,18 +133,19 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter):
         dead_ll.append(float(ll[i_min]))
         vol -= 1.0 / nlive
         logvol.append(vol)
-        # propose from a random live point + shrinking unit-cube jitter
-        for _ in range(50):
-            j = rng.integers(nlive)
-            u_new = np.clip(u[j] + 0.1 * np.exp(vol / 2)
-                            * rng.standard_normal(u.shape[1]), 1e-9,
-                            1 - 1e-9)
-            t_new = prior_transform(u_new[None])[0]
-            ll_new = float(log_l(t_new[None].astype(np.float32))[0])
-            n_calls += 1
-            if ll_new > ll[i_min]:
-                u[i_min], theta[i_min], ll[i_min] = u_new, t_new, ll_new
-                break
+        # propose from random live points + shrinking unit-cube jitter;
+        # one batched call, first-acceptance semantics
+        j = rng.integers(nlive, size=n_prop)
+        u_new = np.clip(u[j] + 0.1 * np.exp(vol / 2)
+                        * rng.standard_normal((n_prop, u.shape[1])),
+                        1e-9, 1 - 1e-9)
+        t_new = prior_transform(u_new)
+        ll_new = np.asarray(log_l(t_new.astype(np.float32)))
+        n_calls += n_prop
+        ok = np.flatnonzero(ll_new > ll[i_min])
+        if ok.size:
+            k = int(ok[0])
+            u[i_min], theta[i_min], ll[i_min] = u_new[k], t_new[k], ll_new[k]
         # convergence: remaining live evidence below dlogz
         if it > nlive and (ll.max() + vol) < (max(dead_ll) - dlogz):
             break
@@ -152,11 +160,16 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter):
 
 def run_comparison(engine, prepared, n_samples: int = 2000,
                    nlive: int = 300, seed: int = 0,
-                   maxiter: int = 5000) -> Dict:
+                   maxiter: int = 5000, importance: bool = False) -> Dict:
     """NPE vs nested sampling on identical data (reference run_comparison:
     dynesty_bridge.py:116). Returns both posteriors + per-parameter
-    comparison metrics + wall times."""
+    comparison metrics + wall times. importance=True additionally compares
+    the IS-corrected NPE posterior against the sampler (the anchor triplet
+    of reference scripts/benchmark_real_events.py:2-12)."""
     import time
+
+    import jax.numpy as jnp
+
     from posteriflow_tpu.evaluation.metrics import ComparisonMetrics
     from posteriflow_tpu.inference.importance import make_log_likelihood
     from posteriflow_tpu.inference.pipeline import infer
@@ -173,8 +186,37 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
     idx = np.random.default_rng(seed).choice(
         len(ns["samples"]), size=min(n_samples, len(ns["samples"])),
         p=ns["weights"])
-    comp = ComparisonMetrics().compare_posteriors(npe.samples,
-                                                  ns["samples"][idx])
-    return {"npe": npe, "nested": ns, "comparison": comp,
-            "t_npe_s": t_npe, "t_nested_s": t_ns,
-            "speedup": t_ns / max(t_npe, 1e-9)}
+    ns_samp = ns["samples"][idx]
+    comp = ComparisonMetrics().compare_posteriors(npe.samples, ns_samp)
+    out = {"npe": npe, "nested": ns, "comparison": comp,
+           "t_npe_s": t_npe, "t_nested_s": t_ns,
+           "speedup": t_ns / max(t_npe, 1e-9)}
+
+    if importance:
+        from posteriflow_tpu.inference.importance import (
+            importance_correct, make_marginalized_log_likelihood)
+        t0 = time.perf_counter()
+        ctx = engine.encode(jnp.asarray(prepared.strain)[None],
+                            jnp.asarray(prepared.asd_bands)[None])
+        # IS runs against the phase/time-MARGINALIZED likelihood (the
+        # production configuration — unmarginalized weights have ~zero ESS
+        # across the flow's many-fringe t_c width); the marginalized
+        # weights are exact for the 9 non-marginalized parameters, which
+        # is what the anchor comparison scores
+        log_l_m = make_marginalized_log_likelihood(prepared.strain)
+        is_res = importance_correct(engine, ctx[0], 0, npe.samples,
+                                    npe.log_prob, npe.railed, log_l_m)
+        t_is = time.perf_counter() - t0
+        k = np.random.default_rng(seed + 1).choice(
+            len(is_res.samples), size=min(n_samples, len(is_res.samples)),
+            p=is_res.weights / is_res.weights.sum())
+        out["is_comparison"] = ComparisonMetrics().compare_posteriors(
+            is_res.samples[k], ns_samp)
+        out["is"] = {"ess": float(is_res.ess),
+                     "efficiency": float(is_res.efficiency),
+                     "n_stages": int(is_res.n_stages),
+                     "logz": float(is_res.log_evidence_ratio),
+                     "t_is_s": t_is}
+        # both evidences are ratios to the noise likelihood L(0)
+        out["logz_gap"] = out["is"]["logz"] - ns["logz"]
+    return out

@@ -51,6 +51,7 @@ class ConvStem(nn.Module):
     Same receptive-field schedule as the reference stem
     (lean_npe.py:158-163): k64/s8 → k16/s4 → k8/s4 → k4/s2."""
     d_model: int = 192
+    dtype: jnp.dtype = jnp.float32    # conv compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -59,29 +60,35 @@ class ConvStem(nn.Module):
         for feat, k, s in ((32, 64, 8), (64, 16, 4), (128, 8, 4),
                            (self.d_model, 4, 2)):
             h = nn.Conv(feat, kernel_size=(k,), strides=(s,),
-                        padding="VALID")(h)
+                        padding="VALID", dtype=self.dtype)(h)
             h = nn.gelu(h)
         return h
 
 
 class TransformerBlock(nn.Module):
     """Pre-norm transformer encoder layer (reference fusion config:
-    lean_npe.py:167-172 — d_model 192, 6 heads, ff 4×, GELU)."""
+    lean_npe.py:167-172 — d_model 192, 6 heads, ff 4×, GELU).
+
+    Mixed precision: the residual stream and LayerNorms stay float32;
+    attention and MLP matmuls run in `dtype` (bf16 on the MXU) and their
+    outputs promote back to f32 at the residual add."""
     d_model: int = 192
     n_heads: int = 6
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         h = nn.LayerNorm()(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, qkv_features=self.d_model,
-            deterministic=deterministic, dropout_rate=self.dropout)(h, h)
+            deterministic=deterministic, dropout_rate=self.dropout,
+            dtype=self.dtype)(h, h)
         x = x + h
         h = nn.LayerNorm()(x)
-        h = nn.Dense(4 * self.d_model)(h)
+        h = nn.Dense(4 * self.d_model, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         return x + h
 
 
@@ -91,6 +98,7 @@ class AttentionPool(nn.Module):
     d_model: int = 192
     n_heads: int = 6
     n_queries: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -100,8 +108,9 @@ class AttentionPool(nn.Module):
                        (self.n_queries, self.d_model))
         q = jnp.broadcast_to(q, (b, self.n_queries, self.d_model))
         pooled = nn.MultiHeadDotProductAttention(
-            num_heads=self.n_heads, qkv_features=self.d_model)(q, tokens)
-        return pooled.reshape(b, -1)                      # [B, nq*d]
+            num_heads=self.n_heads, qkv_features=self.d_model,
+            dtype=self.dtype)(q, tokens)
+        return pooled.reshape(b, -1).astype(jnp.float32)  # [B, nq*d]
 
 
 class LeanStrainEncoder(nn.Module):
@@ -115,6 +124,11 @@ class LeanStrainEncoder(nn.Module):
     context_dim: int = 256
     psd_bands: int = 0
     dropout: float = 0.0
+    # matmul/conv compute dtype ("bfloat16" halves MXU time; params, the
+    # residual stream, LayerNorms, and all geometry/energy physics features
+    # stay float32). Default float32 so pre-existing checkpoints reproduce
+    # bit-exactly (NPEConfig.encoder_dtype).
+    compute_dtype: str = "float32"
 
     def geometry_tokens(self, strain: jnp.ndarray) -> Optional[jnp.ndarray]:
         """Subclass hook (CoherentEncoder): [B, n, d_model] tokens prepended
@@ -141,8 +155,10 @@ class LeanStrainEncoder(nn.Module):
         extra = self.geometry_tokens(strain)
 
         # ── token branch on asinh-compressed strain ──────────────────────────
+        dt_c = jnp.dtype(self.compute_dtype)
         x = jnp.arcsinh(strain).reshape(b * d, t)
-        tokens = ConvStem(self.d_model, name="stem")(x)   # [B*D, L, dm]
+        tokens = ConvStem(self.d_model, dtype=dt_c,
+                          name="stem")(x)                 # [B*D, L, dm]
         length = tokens.shape[1]
         tokens = tokens + sinusoidal_positions(length, self.d_model)[None]
         det_embed = self.param("detector_embed", nn.initializers.normal(0.02),
@@ -153,13 +169,16 @@ class LeanStrainEncoder(nn.Module):
         if extra is not None:
             tokens = jnp.concatenate([extra, tokens], axis=1)
 
+        tokens = tokens.astype(jnp.float32)           # f32 residual stream
         for i in range(self.n_layers):
             tokens = TransformerBlock(self.d_model, self.n_heads,
-                                      self.dropout, name=f"fusion_{i}")(
+                                      self.dropout, dtype=dt_c,
+                                      name=f"fusion_{i}")(
                 tokens, deterministic)
 
         pooled = AttentionPool(self.d_model, self.n_heads,
-                               self.n_pool_queries, name="pool")(tokens)
+                               self.n_pool_queries, dtype=dt_c,
+                               name="pool")(tokens)
 
         feats = [pooled, energy_feat]
         if self.psd_bands > 0:

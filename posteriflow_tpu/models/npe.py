@@ -48,6 +48,10 @@ class NPEConfig:
     enc_layers: int = 3
     enc_heads: int = 6
     flow_dtype: str = "bfloat16"     # conditioner matmul dtype (RQS is f32)
+    # encoder matmul/conv dtype; "float32" default keeps pre-existing
+    # checkpoints bit-exact, production configs set "bfloat16" (MXU speed —
+    # see encoder.py mixed-precision notes)
+    encoder_dtype: str = "float32"
 
     @property
     def n_params(self) -> int:
@@ -66,7 +70,8 @@ class LeanNPE(nn.Module):
         c = self.cfg
         enc_kw = dict(context_dim=c.context_dim, d_model=c.d_model,
                       n_layers=c.enc_layers, n_heads=c.enc_heads,
-                      psd_bands=c.psd_bands if c.uses_asd_bands else 0)
+                      psd_bands=c.psd_bands if c.uses_asd_bands else 0,
+                      compute_dtype=c.encoder_dtype)
         if c.encoder_type == "coherent":
             self.encoder = CoherentEncoder(**enc_kw)
         else:

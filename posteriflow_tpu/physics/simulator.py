@@ -96,30 +96,39 @@ def _rank_and_gate(params, h_w, n_sig, min_snr):
     """Loudness-sort, SNR-gate, and compact an event's signal slots.
 
     params [S, P], h_w [S, n_det, F], n_sig scalar. Returns (params_ranked,
-    h_w_ranked, snr_ranked, n_valid) with surviving signals packed first in
-    loudness order and dead slots zero-masked."""
+    sig_fd_sum [n_det, F], snr_ranked, n_valid) with surviving signals
+    packed first in loudness order and dead slots zero-masked.
+
+    TPU note: the waveform stack h_w is never REORDERED — the two
+    [S, n_det, F] complex gathers of the naive sort-then-compact (measured
+    in the assembly share of reports/sim_profile.json) are replaced by
+    per-slot scalar bookkeeping plus ONE masked reduction over the
+    original slot order; only [S]-sized vectors are permuted."""
     s = params.shape[0]
     loud = loudness(params[:, 0], params[:, 1], params[:, 2])
-    order = jnp.argsort(-loud)
-    params = params[order]
-    h_w = h_w[order]
+    order = jnp.argsort(-loud)                 # rank -> original slot
+    params = params[order]                     # [S, P] small gather
 
-    slot_live = jnp.arange(s) < n_sig
-    snr = jnp.sqrt(jnp.sum(jnp.abs(h_w) ** 2, axis=(-2, -1)))      # [S]
+    slot_live = jnp.arange(s) < n_sig          # in rank order
+    snr_orig = jnp.sqrt(jnp.sum(jnp.abs(h_w) ** 2, axis=(-2, -1)))  # [S]
+    snr = snr_orig[order]
     keep = slot_live & (snr >= min_snr)
 
     # stable-compact kept signals to the front (loudness order preserved)
     perm = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     params = params[perm]
-    h_w = h_w[perm]
     snr = snr[perm]
     n_valid = jnp.sum(keep).astype(jnp.int32)
 
     live = (jnp.arange(s) < n_valid)
     params = jnp.where(live[:, None], params, 0.0)
-    h_w = jnp.where(live[:, None, None], h_w, 0.0)
     snr = jnp.where(live, snr, 0.0)
-    return params, h_w, snr, n_valid
+
+    # the summed spectrum only needs the KEEP mask in ORIGINAL slot order
+    keep_orig = jnp.zeros((s,), jnp.float32).at[order].set(
+        keep.astype(jnp.float32))
+    sig_fd = jnp.einsum("s,sdf->df", keep_orig, h_w)
+    return params, sig_fd, snr, n_valid
 
 
 def _glitch_burst(key: jax.Array, prob: float,
@@ -166,10 +175,8 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
      k_glitch) = jax.random.split(key, 7)
 
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
-    params, h_w, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
-                                                   cfg.min_snr)
-
-    sig_fd = jnp.sum(h_w, axis=0)                                  # [n_det, F]
+    params, sig_fd, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
+                                                      cfg.min_snr)
     sig_td = fd_white_to_td(sig_fd, N_SAMPLES)                     # [n_det, T]
 
     # detector dropout: pick a keep-config with prob det_dropout

@@ -290,7 +290,7 @@ def _amp_ins_stripped(mf, eta, chi_1, chi_2, rho1, rho2, rho3):
                               + 5841690624.0 * (chi_1 + chi_2) * pi
                               + 21384760320.0 * pi2))) / 6.0085960704e10
 
-    mf13 = mf ** (1.0 / 3.0)
+    mf13 = jnp.cbrt(mf)
     mf23 = mf13 * mf13
     mf43 = mf23 * mf23
     mf53 = mf43 * mf13
@@ -327,12 +327,14 @@ def _dphi_int(mf, eta, b1, b2, b3):
 
 
 def _phi_mrd(mf, eta, a1, a2, a3, a4, a5, f_rd, f_damp):
-    return (a1 * mf - a2 / mf + (4.0 / 3.0) * a3 * mf ** 0.75
+    mf14 = jnp.sqrt(jnp.sqrt(mf))          # mf^0.75 = mf/mf^0.25, no pow
+    return (a1 * mf - a2 / mf + (4.0 / 3.0) * a3 * (mf / mf14)
             + a4 * jnp.arctan((mf - a5 * f_rd) / f_damp)) / eta
 
 
 def _dphi_mrd(mf, eta, a1, a2, a3, a4, a5, f_rd, f_damp):
-    return (a1 + a2 / (mf * mf) + a3 * mf ** -0.25
+    mf14 = jnp.sqrt(jnp.sqrt(mf))
+    return (a1 + a2 / (mf * mf) + 1.0 / mf14 * a3
             + a4 * f_damp / ((mf - a5 * f_rd) ** 2 + f_damp * f_damp)) / eta
 
 
@@ -351,15 +353,20 @@ def phenomd_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     mf = jnp.maximum(freqs, 1.0) * m_sec
 
     # ── phase ────────────────────────────────────────────────────────────────
+    def _sigma_phase(mf_):
+        # σ corrections; fractional powers from one cbrt (VPU pow cost)
+        mf13 = jnp.cbrt(mf_)
+        mf43 = mf_ * mf13
+        mf53 = mf43 * mf13
+        return (lam["sigma1"] * mf_ + 0.75 * lam["sigma2"] * mf43
+                + 0.6 * lam["sigma3"] * mf53
+                + 0.5 * lam["sigma4"] * mf_ * mf_) / eta
+
     def _psi_ins(f_hz):
         f_hz = jnp.reshape(f_hz, (-1,))
         psi = taylorf2_amp_phase(f_hz, mass_1, mass_2, chi_1, chi_2,
                                  luminosity_distance, phase_c, f_lower)[1]
-        mf_ = f_hz * m_sec
-        sig = (lam["sigma1"] * mf_ + 0.75 * lam["sigma2"] * mf_ ** (4.0 / 3.0)
-               + 0.6 * lam["sigma3"] * mf_ ** (5.0 / 3.0)
-               + 0.5 * lam["sigma4"] * mf_ * mf_) / eta
-        return psi + sig
+        return psi + _sigma_phase(f_hz * m_sec)
 
     f1 = _PHI_F_JOIN_INS / m_sec                     # Hz
     f2_geo = 0.5 * f_rd
@@ -384,7 +391,13 @@ def phenomd_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     c1_mrd = psi2 - _phi_mrd(f2_geo, eta, a1, a2, a3, a4, a5,
                              f_rd, f_damp) - c2_mrd * f2
 
-    psi_ins = _psi_ins(jnp.maximum(freqs, 1.0))
+    # ONE TaylorF2 evaluation serves both the inspiral phase and the
+    # Newtonian amplitude prefactor (this array-wide series was previously
+    # computed twice per signal — the train step's hottest code)
+    tf2_amp, tf2_psi = taylorf2_amp_phase(
+        jnp.maximum(freqs, 1.0), mass_1, mass_2, chi_1, chi_2,
+        luminosity_distance, phase_c, f_lower)
+    psi_ins = tf2_psi + _sigma_phase(mf)
     psi_int = (_phi_int(mf, eta, b1, b2, b3) + c1_int
                + c2_int * jnp.maximum(freqs, 1.0))
     psi_mrd = (_phi_mrd(mf, eta, a1, a2, a3, a4, a5, f_rd, f_damp)
@@ -395,8 +408,7 @@ def phenomd_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     # ── amplitude ────────────────────────────────────────────────────────────
     # Newtonian prefactor in framework units: taylorf2's amplitude divided
     # by its own PN-free value IS A_Newt — reuse it for exact unit parity.
-    amp_newt = taylorf2_amp_phase(freqs, mass_1, mass_2, chi_1, chi_2,
-                                  luminosity_distance, phase_c, f_lower)[0]
+    amp_newt = jnp.where(freqs >= f_lower, tf2_amp, 0.0)
 
     rho1, rho2, rho3 = lam["rho1"], lam["rho2"], lam["rho3"]
     g1, g2, g3 = lam["gamma1"], lam["gamma2"], lam["gamma3"]

@@ -58,8 +58,12 @@ def taylorf2_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     mc = m * eta ** 0.6
 
     f = jnp.maximum(freqs, 1.0)          # avoid 0^negative at DC; masked below
-    v = (jnp.pi * m * f) ** (1.0 / 3.0)
-    v2, v3 = v * v, v ** 3
+    # cbrt instead of pow (pow = exp·log on the VPU; this file runs per
+    # (signal, bin) — the train step's hottest transcendental site,
+    # reports/sim_profile.json); every other fractional power below is
+    # derived from v by multiplication/sqrt
+    v = jnp.cbrt(jnp.pi * m * f)
+    v2, v3 = v * v, v * v * v
     v4, v5, v6 = v2 * v2, v2 * v3, v3 * v3
     v7 = v3 * v4
     logv = jnp.log(v)
@@ -105,9 +109,12 @@ def taylorf2_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     psi = (3.0 / (128.0 * eta * v5)) * series - 2.0 * phase_c - math.pi / 4.0
 
     # ── Newtonian amplitude (SCALED strain units — constants.STRAIN_SCALE) ───
+    # f^(-7/6) from the already-computed v: f = v³/(πm), so
+    # f^(7/6) = v^3.5/(πm)^(7/6) and v^3.5 = v³·√v (one sqrt, no pow)
     d = luminosity_distance * MPC_SI
-    amp = (math.sqrt(5.0 / 24.0) * math.pi ** (-2.0 / 3.0) * STRAIN_SCALE
-           * mc ** (5.0 / 6.0) * f ** (-7.0 / 6.0) * C_SI / d)
+    k = (math.sqrt(5.0 / 24.0) * math.pi ** (-2.0 / 3.0) * STRAIN_SCALE
+         * C_SI) * mc ** (5.0 / 6.0) * (jnp.pi * m) ** (7.0 / 6.0) / d
+    amp = k / (v3 * jnp.sqrt(v))
     amp = jnp.where(freqs >= f_lower, amp, 0.0)
     return amp, psi
 

@@ -80,9 +80,10 @@ def tidal_phase(freqs: jnp.ndarray, m1, m2, lambda1, lambda2) -> jnp.ndarray:
     eta = (m1 * m2) / (m1 + m2) ** 2
     lam_t = effective_lambda(m1, m2, lambda1, lambda2)
     f = jnp.maximum(freqs, 1.0)
-    v = (jnp.pi * m * f) ** (1.0 / 3.0)
-    v5 = v ** 5
-    v7 = v5 * v * v
+    v = jnp.cbrt(jnp.pi * m * f)        # cbrt, not pow (TPU VPU cost)
+    v2 = v * v
+    v5 = v2 * v2 * v
+    v7 = v5 * v2
     return -(3.0 / (128.0 * eta)) * lam_t * (
         (39.0 / 2.0) * v5 + (3115.0 / 64.0) * v7)
 
@@ -151,21 +152,30 @@ def matter_effects(freqs: jnp.ndarray, m1, m2):
     return psi_t, merger_taper(freqs, f_end)
 
 
+def phenomd_matter_amp_phase(freqs: jnp.ndarray, mass_1, mass_2, chi_1,
+                             chi_2, luminosity_distance, phase_c,
+                             f_lower: float = 20.0):
+    """(amp, psi) of PhenomD × matter effects: the tidal phase ADDS to the
+    point-particle phase and the taper MULTIPLIES the amplitude BEFORE the
+    single e^{-iΨ} is formed — no second complex exponential per bin."""
+    from posteriflow_tpu.physics.waveforms.phenomd import phenomd_amp_phase
+    amp, psi = phenomd_amp_phase(freqs, mass_1, mass_2, chi_1, chi_2,
+                                 luminosity_distance, phase_c, f_lower)
+    psi_t, taper = matter_effects(freqs, mass_1, mass_2)
+    return amp * taper, psi + psi_t
+
+
 def phenomd_matter_polarizations(freqs: jnp.ndarray, mass_1, mass_2, chi_1,
                                  chi_2, luminosity_distance, theta_jn,
                                  phase_c, f_lower: float = 20.0):
     """PhenomD × matter effects — the production auto-dispatch approximant
     (standard approximant signature; waveforms/__init__.py registry).
-
-    Since h̃ = A e^{-iΨ} for both polarizations, matter effects compose as
-    one complex factor taper·e^{-iψ_T} on the point-particle waveform —
-    PhenomD internals are untouched and the BBH limit is bit-exact."""
-    from posteriflow_tpu.physics.waveforms.phenomd import \
-        phenomd_polarizations
-    hp, hc = phenomd_polarizations(freqs, mass_1, mass_2, chi_1, chi_2,
-                                   luminosity_distance, theta_jn, phase_c,
-                                   f_lower)
-    psi_t, taper = matter_effects(freqs, mass_1, mass_2)
-    fac = (taper * jnp.exp(-1j * psi_t.astype(jnp.float32))
-           ).astype(jnp.complex64)
-    return hp * fac, hc * fac
+    BBH limit (Λ=0): tidal phase ≡ 0, taper ≡ 1 — exact PhenomD."""
+    amp, psi = phenomd_matter_amp_phase(freqs, mass_1, mass_2, chi_1,
+                                        chi_2, luminosity_distance,
+                                        phase_c, f_lower)
+    ci = jnp.cos(theta_jn)
+    e = jnp.exp(-1j * psi.astype(jnp.float32))
+    h_plus = (amp * 0.5 * (1.0 + ci * ci)) * e
+    h_cross = (amp * ci) * (1j * e)
+    return h_plus.astype(jnp.complex64), h_cross.astype(jnp.complex64)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Sampler-anchor evidence: NPE vs IS-corrected NPE vs nested sampling on
+identical injections (VERDICT r2 missing-#2; reference:
+scripts/benchmark_real_events.py:2-12, analysis/twin_dynesty/, anchors/).
+
+Runs dynesty_bridge.run_comparison (offline fallback nested sampler — no
+network needed) on injections spanning the twin-grid corners and commits
+per-parameter KL / Wasserstein / median-offset between the three
+posteriors to analysis/anchors.json.
+
+Usage: python scripts/make_anchors.py --ckpt model/npe_r2 [--out analysis/anchors.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# Twin-grid-corner injections: (Mc low/high) x (q near-equal / asymmetric),
+# plus the razor-thin-Mc case the IS battery flags (gw170608-like) and a
+# loud GW150914-like anchor. Distances tuned for SNR ~15-25.
+ANCHORS = [
+    dict(name="gw150914_like", mass_1=36.0, mass_2=29.0,
+         luminosity_distance=700.0),
+    dict(name="low_mc_razor", mass_1=11.0, mass_2=7.6,
+         luminosity_distance=450.0),
+    dict(name="high_mc", mass_1=60.0, mass_2=45.0,
+         luminosity_distance=1500.0),
+    dict(name="asym_q", mass_1=30.1, mass_2=8.3,
+         luminosity_distance=600.0),
+    dict(name="q_attractor", mass_1=25.0, mass_2=15.0,
+         luminosity_distance=800.0),
+]
+_BASE = dict(ra=1.7, dec=-0.8, theta_jn=0.9, psi=0.6, phase=2.1,
+             geocent_time=0.1, a1=0.2, a2=0.1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="model/npe_r2")
+    ap.add_argument("--name", default="best")
+    ap.add_argument("--n-samples", type=int, default=3000)
+    ap.add_argument("--nlive", type=int, default=400)
+    ap.add_argument("--maxiter", type=int, default=8000)
+    ap.add_argument("--only", help="comma list of anchor names")
+    ap.add_argument("--out", default="analysis/anchors.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from posteriflow_tpu import PARAM_NAMES
+    from posteriflow_tpu.inference import load_model, prepare_simulated
+    from posteriflow_tpu.inference.dynesty_bridge import run_comparison
+    from posteriflow_tpu.utils.logging import setup_logging
+
+    log = setup_logging()
+    engine = load_model(args.ckpt, args.name)
+    sel = set(args.only.split(",")) if args.only else None
+
+    out_path = Path(args.out)
+    report = {"ckpt": args.ckpt, "n_samples": args.n_samples,
+              "nlive": args.nlive, "anchors": {}}
+    if out_path.exists():                      # resume across invocations
+        report = json.loads(out_path.read_text())
+
+    for spec in ANCHORS:
+        name = spec["name"]
+        if sel and name not in sel:
+            continue
+        if name in report["anchors"]:
+            log.info("%s: already done, skipping", name)
+            continue
+        params = {k: v for k, v in spec.items() if k != "name"}
+        params.update(_BASE)
+        prepared = prepare_simulated([params], seed=hash(name) % 2 ** 16,
+                                     psd_bands=engine.cfg.npe.psd_bands)
+        t0 = time.time()
+        cmp = run_comparison(engine, prepared, n_samples=args.n_samples,
+                             nlive=args.nlive, maxiter=args.maxiter,
+                             importance=True)
+        entry = {
+            "injected": params,
+            "comparison_npe_vs_sampler": cmp["comparison"],
+            "comparison_is_vs_sampler": cmp["is_comparison"],
+            "is": cmp["is"],
+            "logz_gap_is_minus_sampler": cmp["logz_gap"],
+            "sampler": {k: cmp["nested"][k] for k in
+                        ("logz", "sampler", "n_like_calls")},
+            "t_npe_s": round(cmp["t_npe_s"], 2),
+            "t_nested_s": round(cmp["t_nested_s"], 2),
+            "t_total_s": round(time.time() - t0, 1),
+            "param_names": list(PARAM_NAMES),
+        }
+        report["anchors"][name] = entry
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(json.dumps(report, indent=2, default=float))
+        log.info("%s done in %.0fs: logz_gap %.2f", name,
+                 entry["t_total_s"], cmp["logz_gap"])
+
+    print(json.dumps({k: {"logz_gap": v["logz_gap_is_minus_sampler"],
+                          "t_total_s": v["t_total_s"]}
+                      for k, v in report["anchors"].items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,20 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prng", default="rbg",
+                    choices=["rbg", "threefry2x32"])
     ap.add_argument("--out", default="reports/sim_profile.json")
     args = ap.parse_args(argv)
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "prng", "rbg") == "rbg":
+        # XLA RngBitGenerator instead of threefry: the step draws ~25M
+        # normals (noise + fill planes) and threefry is a long VPU op
+        # chain; rbg is the hardware generator (quality fine for
+        # training-noise purposes; NOT for reproducibility-critical evals)
+        jax.config.update("jax_default_prng_impl", "rbg")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

@@ -43,6 +43,10 @@ def main(argv=None):
                          "(reference: train_lean_npe.py --real_noise_prob)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
+    ap.add_argument("--prng", default="rbg",
+                    choices=["rbg", "threefry2x32"],
+                    help="rbg = XLA hardware bit generator (the step draws "
+                         "~25M normals; threefry is a long VPU chain)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the first epoch")
     args = ap.parse_args(argv)
@@ -53,6 +57,8 @@ def main(argv=None):
     # persistent compilation cache: the coherent-encoder forward alone takes
     # ~6.5 min to (remote-)compile on the tunneled TPU; cache across runs
     import jax
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax-train")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
