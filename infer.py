@@ -141,13 +141,14 @@ def main(argv=None):
                 n_samples=args.n_samples, seed=args.seed)
     if args.importance:
         import jax.numpy as jnp
-        from posteriflow_tpu.inference import (importance_correct,
-                                               make_log_likelihood)
+        from posteriflow_tpu.inference import (
+            importance_correct, make_marginalized_log_likelihood)
         ctx = engine.encode(jnp.asarray(prepared.strain)[None],
                             jnp.asarray(prepared.asd_bands)[None])
         is_res = importance_correct(
             engine, ctx[0], args.rank, res.samples, res.log_prob,
-            res.railed, make_log_likelihood(prepared.strain))
+            res.railed, make_marginalized_log_likelihood(prepared.strain),
+            marginalized=True)
         log.info("IS: ESS %.1f / %d (efficiency %.3f, stages %d)",
                  is_res.ess, len(is_res.samples), is_res.efficiency,
                  is_res.n_stages)

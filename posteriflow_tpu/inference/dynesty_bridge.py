@@ -205,7 +205,8 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
         # is what the anchor comparison scores
         log_l_m = make_marginalized_log_likelihood(prepared.strain)
         is_res = importance_correct(engine, ctx[0], 0, npe.samples,
-                                    npe.log_prob, npe.railed, log_l_m)
+                                    npe.log_prob, npe.railed, log_l_m,
+                                    marginalized=True)
         t_is = time.perf_counter() - t0
         k = np.random.default_rng(seed + 1).choice(
             len(is_res.samples), size=min(n_samples, len(is_res.samples)),

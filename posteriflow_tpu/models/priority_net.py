@@ -106,26 +106,44 @@ class PriorityNet(nn.Module):
 
 def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
                  sigma: jnp.ndarray, mask: jnp.ndarray,
-                 margin: float = 0.1) -> jnp.ndarray:
-    """Pairwise margin ranking + MSE + uncertainty calibration
+                 margin_scale: float = 1.0,
+                 margin_floor: float = 0.02) -> jnp.ndarray:
+    """Pairwise ADAPTIVE-margin ranking + MSE + uncertainty calibration
     (reference AdaptiveRankingLoss + PriorityLoss semantics,
-    priority_net.py:358-538), fully vectorized over candidate pairs."""
+    priority_net.py:358-538), fully vectorized over candidate pairs.
+
+    Adaptive margin: each pair's required score gap scales with its TARGET
+    gap (margin_scale·|Δtarget| + floor). A fixed margin lets near-tie
+    pairs — the [0, 0.1) loudness-separation bin where the r2 evaluation
+    measured chance accuracy — hide inside one global slack; the
+    proportional margin keeps gradient on exactly those pairs without
+    over-penalizing genuinely ambiguous orderings (VERDICT r2 weak-#4).
+
+    Uncertainty term: heteroscedastic NLL on a STOP-GRADIENT error, so σ
+    must track |score − target| without the term shrinking the scores
+    themselves (the reference trains an explicit uncertainty-calibration
+    loss, priority_net.py:414-538; the r2 head trained against the live
+    error and collapsed to a constant — corr −0.004)."""
+    import jax
+
     pair_mask = (mask[:, :, None] * mask[:, None, :])
     dt = targets[:, :, None] - targets[:, None, :]         # target diffs
     ds = scores[:, :, None] - scores[:, None, :]
     want_higher = (dt > 0).astype(jnp.float32) * pair_mask
+    margin = margin_scale * jnp.abs(dt) + margin_floor
     rank_term = jnp.sum(want_higher * jnp.maximum(0.0, margin - ds)) \
         / jnp.maximum(jnp.sum(want_higher), 1.0)
 
     mse = jnp.sum(mask * (scores - targets) ** 2) \
         / jnp.maximum(jnp.sum(mask), 1.0)
 
-    # heteroscedastic NLL: sigma should track |error|
-    err2 = (scores - targets) ** 2
+    # heteroscedastic NLL against the DETACHED error: the optimum is
+    # σ = |err| per candidate, i.e. a σ that discriminates easy from hard
+    err2 = jax.lax.stop_gradient((scores - targets) ** 2)
     unc = jnp.sum(mask * (0.5 * err2 / sigma ** 2 + jnp.log(sigma))) \
         / jnp.maximum(jnp.sum(mask), 1.0)
 
-    return rank_term + 0.5 * mse + 0.1 * unc
+    return rank_term + 0.5 * mse + 0.3 * unc
 
 
 def rank_by_score(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -177,7 +177,6 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
     params, sig_fd, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
                                                       cfg.min_snr)
-    sig_td = fd_white_to_td(sig_fd, N_SAMPLES)                     # [n_det, T]
 
     # detector dropout: pick a keep-config with prob det_dropout
     drop = (jax.random.uniform(k_drop) < cfg.det_dropout)
@@ -185,10 +184,15 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
                                                 _KEEP_CONFIGS.shape[0])]
     det_mask = jnp.where(drop, keep_cfg, jnp.ones(N_DETECTORS))
 
-    # network SNR over KEPT detectors only (dropped signal is gone).
-    # Measured on the DESIGN-whitened signal (re-coloring changes the
+    # network SNR over KEPT detectors only (dropped signal is gone),
+    # measured on the DESIGN-whitened signal (re-coloring changes the
     # per-segment SNR only through sensitivity, which asd_bands reports).
-    net_snr = jnp.sqrt(jnp.sum(det_mask * jnp.sum(sig_td ** 2, axis=-1)))
+    # Computed in FD — ρ_det = ||h_w||₂ over bins in this normalization
+    # (whiten.py), with the one-sided DC/Nyquist half-weights.
+    e_det = (jnp.sum(jnp.abs(sig_fd) ** 2, axis=-1)
+             - 0.5 * jnp.abs(sig_fd[..., 0]) ** 2
+             - 0.5 * jnp.abs(sig_fd[..., -1]) ** 2)
+    net_snr = jnp.sqrt(jnp.sum(det_mask * e_det))
 
     noise = jax.random.normal(k_noise, (N_DETECTORS, N_SAMPLES))
     fill = jax.random.normal(k_fill, (N_DETECTORS, N_SAMPLES))
@@ -196,8 +200,7 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
 
     if (bank is not None or real_feed is not None) \
             and cfg.real_noise_prob > 0.0:
-        from posteriflow_tpu.data.noise_bank import (recolor_signal,
-                                                     sample_real_noise)
+        from posteriflow_tpu.data.noise_bank import sample_real_noise
         use_real = jax.random.uniform(k_use) < cfg.real_noise_prob
         if real_feed is not None:
             r_noise, r_filt, r_bands = real_feed
@@ -208,11 +211,16 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
             k_r1, k_r2 = jax.random.split(k_real)
             r_noise, r_filt, r_bands = sample_real_noise(k_r1, bank)
             r_fill, _, _ = sample_real_noise(k_r2, bank)
-        sig_recolored = recolor_signal(sig_td, r_filt)
+        # re-coloring is diagonal in frequency, so it folds into the FD
+        # spectrum BEFORE the (single) irfft — exactly recolor_signal
+        # (irfft(rfft(s)·filt)) without the extra rfft/irfft pair the
+        # measured sim profile flagged
         noise = jnp.where(use_real, r_noise, noise)
         fill = jnp.where(use_real, r_fill, fill)
-        sig_td = jnp.where(use_real, sig_recolored, sig_td)
+        sig_fd = jnp.where(use_real, sig_fd * r_filt, sig_fd)
         asd_bands = jnp.where(use_real, r_bands, asd_bands)
+
+    sig_td = fd_white_to_td(sig_fd, N_SAMPLES)                     # [n_det, T]
 
     if cfg.glitch_prob > 0.0:
         # dedicated key: re-splitting the consumed k_noise here would

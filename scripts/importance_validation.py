@@ -75,6 +75,7 @@ def main(argv=None):
         log_l = make_marginalized_log_likelihood(prep.strain)
         is_res = importance_correct(engine, ctx[0], 0, res.samples,
                                     res.log_prob, res.railed, log_l,
+                                    marginalized=True,
                                     seed=args.seed + i)
         med = np.median(is_res.samples[
             np.random.default_rng(0).choice(

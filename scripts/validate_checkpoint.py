@@ -39,6 +39,10 @@ GATES = {
     "spurious_railing": ("<", 0.05),
     "dist_corr": (">", 0.5),
     "smoke_tc_max_abs_err": ("<", 0.1),
+    # live OOD battery: every genuinely-OOD input (glitch-only,
+    # out-of-prior masses, mis-whitened strain) must be flagged
+    # (verdict != HIGH or refine fired) — VERDICT r2 weak-#6
+    "ood_flag_frac": (">=", 1.0),
 }
 
 # 8th gate, armed when a noise bank provides the real-noise domain
@@ -152,9 +156,12 @@ def main(argv=None):
                              np.concatenate(lives), args.n_post)
     railing = float(np.mean([float(c["spurious_railing"]) for c in cals]))
 
-    # OOD stats: fit + persist (arms inference, reference :297-302)
+    # OOD stats: fit + persist (arms inference, reference :297-302), and
+    # arm THIS run's engine so the smoke/OOD batteries exercise the live
+    # verdict path
     stats = fit_context_stats(np.concatenate(contexts))
     stats.save(Path(args.ckpt) / "ood_stats.npz")
+    engine.ood_stats = stats
 
     # injected smoke battery: loud reference-like events through infer()
     smoke = []
@@ -179,7 +186,68 @@ def main(argv=None):
                       "verdict": res.verdict,
                       "refine": res.gate.get("refine")})
 
+    # ── live OOD battery: genuinely out-of-distribution inputs must NOT
+    # come back confident — verdict != HIGH or the refinement gate fires
+    # (the role GW170729 plays in the reference's live CI,
+    # /root/reference/scripts/validate_checkpoint.py:305-315, without
+    # needing the network; VERDICT r2 weak-#6)
+    from posteriflow_tpu.inference.preprocessing import PreparedData
+    from posteriflow_tpu.physics.constants import N_SAMPLES
+
+    rng = np.random.default_rng(args.seed)
+
+    def _prep(strain):
+        # run the real-path quality checks so the verdict sees the same
+        # warnings production strain would carry
+        from posteriflow_tpu.inference.preprocessing import quality_checks
+        quality, warnings = {}, []
+        for d_i, det in enumerate(("H1", "L1", "V1")):
+            q, w = quality_checks(strain[d_i].astype(np.float32), det)
+            quality[det] = q
+            warnings += w
+        return PreparedData(strain=strain.astype(np.float32), asds=None,
+                            asd_bands=np.zeros((3, cfg.sim.psd_bands),
+                                               np.float32),
+                            detectors_present=["H1", "L1", "V1"],
+                            quality=quality, warnings=warnings, timings={})
+
+    # 1. glitch-only: loud sine-Gaussian bursts in unit noise, no signal
+    glitch = rng.standard_normal((3, N_SAMPLES))
+    t = np.arange(N_SAMPLES)
+    for d_i, c in ((0, 6000), (1, 9000), (2, 11000)):
+        x = t - c
+        glitch[d_i] += 14.0 * np.exp(-x ** 2 / (2 * 40.0 ** 2)) \
+            * np.sin(2 * np.pi * x / 55.0)
+    # 2. out-of-prior masses: 160+120 Msun (prior box tops at 100)
+    oop = {"mass_1": 160.0, "mass_2": 120.0, "luminosity_distance": 900.0,
+           "ra": 2.0, "dec": -0.4, "theta_jn": 0.8, "psi": 0.5,
+           "phase": 0.7, "geocent_time": 0.0, "a1": 0.3, "a2": 0.2}
+    # 3. mis-whitened strain: a valid injection scaled 6x (violates the
+    #    unit-variance whitening contract)
+    from posteriflow_tpu.inference.preprocessing import prepare_simulated
+    prep_ok = prepare_simulated(
+        [dict(smoke_params[0], ra=1.0, dec=0.3, theta_jn=0.5, psi=0.4,
+              phase=1.0, geocent_time=0.1, a1=0.1, a2=0.05)],
+        seed=9, psd_bands=cfg.sim.psd_bands)
+    miswhite = np.asarray(prep_ok.strain) * 6.0
+
+    ood_cases = [("glitch_only", {"data": _prep(glitch)}),
+                 ("out_of_prior_mass", {"inject": [oop]}),
+                 ("mis_whitened", {"data": _prep(miswhite)})]
+    ood_live = []
+    for name, kw in ood_cases:
+        r = infer(engine, n_samples=512, seed=31, **kw)
+        flagged = (r.verdict != "HIGH") or bool(r.gate.get("refine"))
+        ood_live.append({"case": name, "verdict": r.verdict,
+                         "ood_percentile":
+                             r.diagnostics.get("ood_percentile"),
+                         "refine": r.gate.get("refine"),
+                         "flagged": flagged})
+    ood_flag_frac = float(np.mean([c["flagged"] for c in ood_live]))
+
     metrics = {
+        "ood_live": ood_live,
+        "ood_flag_frac": ood_flag_frac,
         "shuffle_delta_nll": avg("shuffle_delta_nll"),
         "dist_corr": avg("dist_corr"),
         "val_nll": avg("val_nll_diag"),

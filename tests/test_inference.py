@@ -327,3 +327,58 @@ def test_marginalized_likelihood_properties():
     assert ll[0] <= ll_full + 1e-3             # marginal <= full at truth
     assert ll[0] > ll_full - 25.0              # ...but within the
     #                                            marginalization volume
+
+
+def test_marginalized_tempered_ladder_matches_direct_is():
+    """Marginalized-mode exactness: with a likelihood that ignores
+    phase/t_c (the marginalized production configuration), the slow-space
+    ladder (9-D GMM + fast dims drawn from their flat priors) must match
+    direct prior-IS evidence and posterior means."""
+    from posteriflow_tpu.inference.importance import (_finalize,
+                                                      _tempered_is)
+    from posteriflow_tpu.prior import (BBH as BBH_T, _DIST_HI, _DIST_LO,
+                                       _MASS_HI, _MASS_LO, _SPIN1_HI,
+                                       _T_OFF_HI, _T_OFF_LO, log_prior_bbh)
+    rng = np.random.default_rng(17)
+    n = 4000
+    lm = rng.uniform(np.log(_MASS_LO[BBH_T]), np.log(_MASS_HI[BBH_T]), n)
+    m1 = np.exp(lm)
+    m2 = np.exp(rng.uniform(np.log(_MASS_LO[BBH_T]), lm))
+    d = (_DIST_LO[BBH_T] ** 3 + rng.uniform(0, 1, n)
+         * (_DIST_HI[BBH_T] ** 3 - _DIST_LO[BBH_T] ** 3)) ** (1 / 3)
+    theta = np.column_stack([
+        m1, m2, d, rng.uniform(0, 2 * np.pi, n),
+        np.arcsin(rng.uniform(-1, 1, n)), np.arccos(rng.uniform(-1, 1, n)),
+        rng.uniform(0, np.pi, n), rng.uniform(0, 2 * np.pi, n),
+        rng.uniform(_T_OFF_LO, _T_OFF_HI, n),
+        rng.uniform(0, _SPIN1_HI[BBH_T], n),
+        rng.uniform(0, _SPIN1_HI[BBH_T], n)]).astype(np.float64)
+
+    def log_l_fn(t):                      # phase/tc-independent target
+        t = np.asarray(t)
+        return (-0.5 * ((t[:, 0] - 30.0) / 2.5) ** 2
+                - 0.5 * ((t[:, 2] - 700.0) / 120.0) ** 2)
+
+    log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
+    lp = np.asarray(log_prior_fn(jnp.asarray(theta, jnp.float32)),
+                    np.float64)
+    ll = np.asarray(log_l_fn(theta))
+    direct = _finalize(theta.astype(np.float32), ll)
+    assert direct.ess > 20.0
+    tempered = _tempered_is(theta, lp.copy(), ll, lp, log_l_fn,
+                            log_prior_fn, max_stages=25, seed=5,
+                            marginalized=True)
+    assert tempered.converged, tempered.beta_ladder
+    assert 0.0 < tempered.efficiency < 1.0 - 1e-9
+    assert abs(tempered.log_evidence_ratio
+               - direct.log_evidence_ratio) < 1.5
+    for col in (0, 2):
+        mu_d = np.sum(direct.weights * direct.samples[:, col])
+        mu_t = np.sum(tempered.weights * tempered.samples[:, col])
+        assert abs(mu_d - mu_t) / max(abs(mu_d), 1.0) < 0.1, (col, mu_d,
+                                                              mu_t)
+    # the resampled fast dims live inside their prior boxes
+    assert (tempered.samples[:, 7] >= 0).all()
+    assert (tempered.samples[:, 7] <= 2 * np.pi + 1e-6).all()
+    assert (tempered.samples[:, 8] >= _T_OFF_LO - 1e-6).all()
+    assert (tempered.samples[:, 8] <= _T_OFF_HI + 1e-6).all()
