@@ -158,6 +158,14 @@ def simulate_long_bns_batch(key: jax.Array, batch: int,
         theta = sample_signal_params(k_t, bns_prior)
         (m1, m2, d, ra, dec, tj, psi_a, ph, t_off, a1, a2) = theta
         hp, hc = taylorf2_polarizations(freqs, m1, m2, a1, a2, d, tj, ph)
+        # matter effects: mass-keyed tidal dephasing + merger taper
+        # (waveforms/tidal.py) — the long-BNS band is exactly where the
+        # tidal phase accumulates
+        from posteriflow_tpu.physics.waveforms.tidal import matter_effects
+        psi_t, taper = matter_effects(freqs, m1, m2)
+        fac = (taper * jnp.exp(-1j * psi_t.astype(jnp.float32))
+               ).astype(jnp.complex64)
+        hp, hc = hp * fac, hc * fac
         h_det = project_to_network(freqs, hp, hc, ra, dec, psi_a, t_off,
                                    duration=duration)
         h_w = whiten_fd(h_det, asd, delta_f)
@@ -198,6 +206,16 @@ class LongBNSNPE(nn.Module):
         ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
         y = self.scaler.normalize(theta)
         return -jnp.mean(self.flow.log_prob(y, ctx))
+
+    def sample(self, key: jax.Array, tokens: jnp.ndarray,
+               n_samples: int = 128):
+        """tokens [B, L, F] -> physical posterior draws [B, n, 11]
+        (wrap-then-denormalize, the LeanNPE sampling convention)."""
+        pos = sinusoidal_positions(tokens.shape[1], self.encoder.d_model)
+        ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
+        z = jax.random.normal(key, (ctx.shape[0], n_samples, 11))
+        y, _ = self.flow.sample_with_log_prob(z, ctx[:, None, :])
+        return self.scaler.denormalize(self.scaler.wrap(y))
 
 
 def make_sharded_encoder(mesh: Mesh, seq_len: int, n_feat: int,

@@ -43,6 +43,13 @@ class TrainConfig:
     warmup_steps: int = 500
     total_steps: int = 20_000
     grad_clip: float = 5.0
+    # "global": clip_by_global_norm(grad_clip) — the reference's scheme
+    # (train_lean_npe.py:366). "agc": adaptive gradient clipping (per-unit,
+    # relative to parameter norm; grad_clip reinterpreted as the AGC
+    # clipping factor ×0.01) — the r2 flagship's pre-clip norm grew 82→188
+    # against the FIXED 5.0 (VERDICT weak-#3), so late training clipped
+    # every update ~40x; AGC keeps clipping relative, only taming outliers.
+    grad_clip_mode: str = "global"
 
 
 class TrainState(train_state.TrainState):
@@ -53,8 +60,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.lr, warmup_steps=cfg.warmup_steps,
         decay_steps=cfg.total_steps, end_value=0.01 * cfg.lr)
+    if cfg.grad_clip_mode == "agc":
+        clip = optax.adaptive_grad_clip(0.01 * cfg.grad_clip)
+    else:
+        clip = optax.clip_by_global_norm(cfg.grad_clip)
     return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
+        clip,
         optax.adamw(sched, weight_decay=cfg.weight_decay),
     )
 
@@ -97,6 +108,21 @@ def batch_nll(model: LeanNPE, params, batch: EventBatch) -> jnp.ndarray:
     return total / count
 
 
+def component_grad_norms(grads) -> dict:
+    """Per-submodule gradient norms (encoder / flow / rank embed) — the
+    instrumentation for the pre-clip grad-norm growth observed across the
+    r2 302k-step run (82 -> 188 vs clip 5.0, VERDICT r2 weak-#3):
+    localizing WHICH component's gradients grow decides whether the fix is
+    the clip threshold, the LR, or loss conditioning."""
+    tree = grads.get("params", grads) if isinstance(grads, dict) else grads
+    out = {}
+    for name, key_ in (("gn_encoder", "encoder"), ("gn_flow", "flow"),
+                       ("gn_rank", "rank_embed")):
+        if isinstance(tree, dict) and key_ in tree:
+            out[name] = optax.global_norm(tree[key_])
+    return out
+
+
 def make_train_step(cfg: TrainConfig, mesh=None, with_bank: bool = False):
     """Returns step(state, key[, bank]) -> (state, metrics). Jittable;
     donates the state. Pass a Mesh to constrain the simulated batch onto
@@ -119,6 +145,7 @@ def make_train_step(cfg: TrainConfig, mesh=None, with_bank: bool = False):
         metrics = {"nll": loss, "grad_norm": gnorm,
                    "mean_nsig": jnp.mean(batch.n_sig.astype(jnp.float32)),
                    "mean_snr": jnp.mean(batch.net_snr)}
+        metrics.update(component_grad_norms(grads))
         return state, metrics
 
     if with_bank:
@@ -153,12 +180,13 @@ def make_train_epoch(cfg: TrainConfig, n_steps: int, mesh=None,
             loss, grads = jax.value_and_grad(loss_fn)(st.params, batch)
             gnorm = optax.global_norm(grads)
             st = st.apply_gradients(grads=grads)
-            return st, (loss, gnorm)
+            return st, (loss, gnorm, component_grad_norms(grads))
 
-        state, (losses, gnorms) = jax.lax.scan(
+        state, (losses, gnorms, comp) = jax.lax.scan(
             body, state, jnp.arange(n_steps, dtype=jnp.int32))
         metrics = {"nll": jnp.mean(losses), "grad_norm": jnp.mean(gnorms),
                    "last_nll": losses[-1]}
+        metrics.update({k: jnp.mean(v) for k, v in comp.items()})
         return state, metrics
 
     if with_bank:

@@ -73,6 +73,14 @@ def main(argv=None):
     progs["full"] = jax.jit(
         lambda k: jnp.sum(simulate_batch(k, b, cfg).strain))
 
+    # slot-count scaling: S=1 vs S=5 separates per-waveform cost from
+    # fixed assembly overhead (noise RNG, FFT, masks)
+    cfg_s1 = SimConfig(det_dropout=0.1, real_noise_prob=0.0,
+                       prior=PriorConfig(max_signals=1,
+                                         overlap_fraction=0.0))
+    progs["full_s1"] = jax.jit(
+        lambda k: jnp.sum(simulate_batch(k, b, cfg_s1).strain))
+
     def wave_only(k):
         p = flat_params(k)
         h = jax.vmap(lambda q: signal_white_fd(q, asd))(p)

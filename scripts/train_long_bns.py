@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Train the long-BNS NPE (BASELINE configs[3]) and commit its calibration.
+
+VERDICT r2 missing-#4: models/long_bns.py was built and exactness-tested
+but never TRAINED. This CLI trains a small LongBNSNPE on multibanded
+64-s TaylorF2+tidal BNS injections (the long time series is never
+materialized — the front-end's point), then runs a PP/coverage battery and
+writes model/long_bns_v1/{params.msgpack,history.json,calibration.json}.
+
+Usage: python scripts/train_long_bns.py [--steps 4000] [--batch 16] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--outdir", default="model/long_bns_v1")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--duration", type=float, default=64.0)
+    ap.add_argument("--n-bands", type=int, default=64)
+    ap.add_argument("--per-band", type=int, default=32)
+    ap.add_argument("--d-model", type=int, default=128)
+    ap.add_argument("--n-layers", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--cal-events", type=int, default=256)
+    ap.add_argument("--cal-post", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prng", default="rbg",
+                    choices=["rbg", "threefry2x32"])
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax.serialization import from_bytes, to_bytes
+
+    from posteriflow_tpu import PARAM_NAMES
+    from posteriflow_tpu.models.long_bns import (LongBNSNPE,
+                                                 simulate_long_bns_batch)
+    from posteriflow_tpu.utils.logging import setup_logging
+
+    log = setup_logging()
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    enc_cfg = dict(d_model=args.d_model, n_layers=args.n_layers)
+    net = LongBNSNPE(enc=enc_cfg)
+
+    def batch_fn(k):
+        return simulate_long_bns_batch(k, args.batch,
+                                       duration=args.duration,
+                                       n_bands=args.n_bands,
+                                       per_band=args.per_band)
+
+    key = jax.random.PRNGKey(args.seed)
+    tokens0, theta0 = jax.jit(batch_fn)(key)
+    log.info("tokens %s  theta %s", tokens0.shape, theta0.shape)
+    params = jax.jit(net.init)(key, tokens0, theta0)
+    n_par = sum(x.size for x in jax.tree.leaves(params))
+    log.info("LongBNSNPE: %s params", f"{n_par:,}")
+
+    warmup = min(200, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup,
+                                               max(args.steps, warmup + 1),
+                                               end_value=0.02 * args.lr)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=1e-5))
+    opt_state = tx.init(params)
+
+    ckpt = outdir / "params.msgpack"
+    history = []
+    if args.resume and ckpt.exists():
+        params = from_bytes(params, ckpt.read_bytes())
+        history = json.loads((outdir / "history.json").read_text())
+        log.info("resumed from %s (%d records)", ckpt, len(history))
+
+    @jax.jit
+    def step(params, opt_state, k):
+        tokens, theta = batch_fn(k)
+
+        def loss_fn(p):
+            return net.apply(p, tokens, theta)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    done = history[-1]["step"] if history else 0
+    for i in range(done, args.steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        if (i + 1) % args.eval_every == 0 or i == 0:
+            kv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7), i)
+            tv, thv = jax.jit(batch_fn)(kv)
+            vloss = float(jax.jit(net.apply)(params, tv, thv))
+            rec = {"step": i + 1, "train_nll": float(loss),
+                   "val_nll": vloss,
+                   "seconds": round(time.time() - t0, 1)}
+            history.append(rec)
+            log.info("step %5d | train %.3f | val %.3f | %.0fs", i + 1,
+                     rec["train_nll"], vloss, rec["seconds"])
+            ckpt.write_bytes(to_bytes(params))
+            (outdir / "history.json").write_text(
+                json.dumps(history, indent=2))
+
+    # ── calibration battery: coverage + SBC ranks over fresh events ──────
+    log.info("calibration battery: %d events x %d draws", args.cal_events,
+             args.cal_post)
+
+    @jax.jit
+    def cal_chunk(params, k):
+        tokens, theta = batch_fn(k)
+        draws = net.apply(params, jax.random.fold_in(k, 1), tokens,
+                          args.cal_post, method=LongBNSNPE.sample)
+        # central-interval coverage + SBC rank per parameter
+        lo50 = jnp.quantile(draws, 0.25, axis=1)
+        hi50 = jnp.quantile(draws, 0.75, axis=1)
+        lo90 = jnp.quantile(draws, 0.05, axis=1)
+        hi90 = jnp.quantile(draws, 0.95, axis=1)
+        in50 = ((theta >= lo50) & (theta <= hi50)).astype(jnp.float32)
+        in90 = ((theta >= lo90) & (theta <= hi90)).astype(jnp.float32)
+        rank = jnp.sum((draws < theta[:, None, :]).astype(jnp.int32),
+                       axis=1)
+        return in50, in90, rank
+
+    in50s, in90s, ranks = [], [], []
+    n_chunks = max(1, args.cal_events // args.batch)
+    for i in range(n_chunks):
+        k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1234), i)
+        a, b, r = cal_chunk(params, k)
+        in50s.append(np.asarray(a))
+        in90s.append(np.asarray(b))
+        ranks.append(np.asarray(r))
+    cov50 = np.concatenate(in50s).mean(0)
+    cov90 = np.concatenate(in90s).mean(0)
+    rk = np.concatenate(ranks)
+
+    from scipy.stats import kstest
+    sbc_p = [float(kstest((rk[:, j] + 0.5) / (args.cal_post + 1),
+                          "uniform").pvalue) for j in range(11)]
+    cal = {
+        "n_events": int(n_chunks * args.batch),
+        "n_post": args.cal_post,
+        "cov50": dict(zip(PARAM_NAMES, np.round(cov50, 3).tolist())),
+        "cov90": dict(zip(PARAM_NAMES, np.round(cov90, 3).tolist())),
+        "cov50_violations": int(np.sum(np.abs(cov50 - 0.5) > 0.07)),
+        "cov90_violations": int(np.sum(np.abs(cov90 - 0.9) > 0.05)),
+        "sbc_ks_p": dict(zip(PARAM_NAMES, sbc_p)),
+        "sbc_pass_frac": float(np.mean(np.asarray(sbc_p) > 1e-3)),
+        "final_val_nll": history[-1]["val_nll"] if history else None,
+        "config": {"duration": args.duration, "n_bands": args.n_bands,
+                   "per_band": args.per_band, "steps": args.steps,
+                   "batch": args.batch, **enc_cfg, "n_params": n_par},
+    }
+    (outdir / "calibration.json").write_text(json.dumps(cal, indent=2))
+    log.info("cov50 violations: %d; cov90 violations: %d; SBC pass %.2f",
+             cal["cov50_violations"], cal["cov90_violations"],
+             cal["sbc_pass_frac"])
+    print(json.dumps({k: cal[k] for k in ("cov50_violations",
+                                          "cov90_violations",
+                                          "sbc_pass_frac",
+                                          "final_val_nll")}))
+
+
+if __name__ == "__main__":
+    main()
