@@ -160,7 +160,7 @@ def _glitch_burst(key: jax.Array, prob: float,
 
 def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
                    asd: jax.Array, cfg: SimConfig, bank=None,
-                   real_feed=None):
+                   real_feed=None, h_w: jax.Array | None = None):
     """Assemble one whitened 3-detector training event.
 
     params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Optional
@@ -170,11 +170,18 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     asd_bands reports the sensitivity summary (remix_data.py semantics).
     `real_feed` = (noise [3,T], recolor [3,F], bands [3,K]) supplies the
     crop externally (the host-side big-bank path, data/host_feed.py) —
-    takes precedence over `bank`. Returns an EventBatch (no batch dim)."""
+    takes precedence over `bank`. `h_w` [S, n_det, F] supplies the
+    whitened per-signal spectra precomputed OUTSIDE the per-event vmap
+    (simulate_batch does this: a flat [B·S] waveform batch measures ~4x
+    faster than the same work nested vmap(event)∘vmap(slot) —
+    reports/sim_profile3.json full vs wave_only). Returns an EventBatch
+    (no batch dim)."""
     (k_noise, k_drop, k_cfg, k_fill, k_real, k_use,
      k_glitch) = jax.random.split(key, 7)
 
-    h_w = jax.vmap(lambda p: signal_white_fd(p, asd, cfg.f_lower))(params)
+    if h_w is None:
+        h_w = jax.vmap(lambda p: signal_white_fd(p, asd,
+                                                 cfg.f_lower))(params)
     params, sig_fd, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
                                                       cfg.min_snr)
 
@@ -253,10 +260,16 @@ def simulate_batch(key: jax.Array, batch_size: int,
     k_prior, k_sim = jax.random.split(key)
     params, n_sig = sample_batch(k_prior, batch_size, cfg.prior)
     keys = jax.random.split(k_sim, batch_size)
+    # waveforms as ONE flat [B·S] batch outside the per-event vmap: the
+    # nested vmap(event)∘vmap(slot) lowering of the same math measured
+    # ~4x slower on TPU (reports/sim_profile3.json)
+    b, s, p = params.shape
+    h_w_flat = jax.vmap(lambda q: signal_white_fd(q, asd, cfg.f_lower))(
+        params.reshape(b * s, p))
+    h_w = h_w_flat.reshape(b, s, *h_w_flat.shape[1:])
     if real_feed is not None:
-        return jax.vmap(lambda k, p, n, rn, rf, rb: simulate_event(
-            k, p, n, asd, cfg, None, (rn, rf, rb)))(
-            keys, params, n_sig, *real_feed)
-    return jax.vmap(lambda k, p, n: simulate_event(k, p, n, asd, cfg,
-                                                   bank))(
-        keys, params, n_sig)
+        return jax.vmap(lambda k, pp, n, hw, rn, rf, rb: simulate_event(
+            k, pp, n, asd, cfg, None, (rn, rf, rb), hw))(
+            keys, params, n_sig, h_w, *real_feed)
+    return jax.vmap(lambda k, pp, n, hw: simulate_event(
+        k, pp, n, asd, cfg, bank, None, hw))(keys, params, n_sig, h_w)

@@ -34,7 +34,7 @@ def main(argv=None):
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak bf16 TFLOP/s (TPU v5e: 197)")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--prng", default="rbg",
+    ap.add_argument("--prng", default="threefry2x32",
                     choices=["rbg", "threefry2x32"])
     ap.add_argument("--no-bank", action="store_true")
     ap.add_argument("--out", default="reports/train_throughput.json")
@@ -43,11 +43,10 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if getattr(args, "prng", "rbg") == "rbg":
-        # XLA RngBitGenerator instead of threefry: the step draws ~25M
-        # normals (noise + fill planes) and threefry is a long VPU op
-        # chain; rbg is the hardware generator (quality fine for
-        # training-noise purposes; NOT for reproducibility-critical evals)
+    if args.prng == "rbg":
+        # measured SLOWER than threefry on the axon backend (every program
+        # in reports/sim_profile2.json ran ~2x the threefry time of
+        # sim_profile3.json) — kept as an option for other TPU backends
         jax.config.update("jax_default_prng_impl", "rbg")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

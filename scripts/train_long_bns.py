@@ -35,7 +35,7 @@ def main(argv=None):
     ap.add_argument("--cal-events", type=int, default=256)
     ap.add_argument("--cal-post", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--prng", default="rbg",
+    ap.add_argument("--prng", default="threefry2x32",
                     choices=["rbg", "threefry2x32"])
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)

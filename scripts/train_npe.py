@@ -43,7 +43,7 @@ def main(argv=None):
                          "(reference: train_lean_npe.py --real_noise_prob)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
-    ap.add_argument("--prng", default="rbg",
+    ap.add_argument("--prng", default="threefry2x32",
                     choices=["rbg", "threefry2x32"],
                     help="rbg = XLA hardware bit generator (the step draws "
                          "~25M normals; threefry is a long VPU chain)")
