@@ -92,25 +92,21 @@ def signal_white_fd(params: jax.Array, asd: jax.Array,
     return whiten_fd(h_det, asd)
 
 
-def _rank_and_gate(params, h_w, n_sig, min_snr):
-    """Loudness-sort, SNR-gate, and compact an event's signal slots.
+def _gate_from_snr(params, snr_orig, n_sig, min_snr):
+    """Loudness-sort, SNR-gate, and compact an event's signal slots from
+    per-slot SNR alone — pure [S]-sized bookkeeping, no waveform data.
 
-    params [S, P], h_w [S, n_det, F], n_sig scalar. Returns (params_ranked,
-    sig_fd_sum [n_det, F], snr_ranked, n_valid) with surviving signals
-    packed first in loudness order and dead slots zero-masked.
-
-    TPU note: the waveform stack h_w is never REORDERED — the two
-    [S, n_det, F] complex gathers of the naive sort-then-compact (measured
-    in the assembly share of reports/sim_profile.json) are replaced by
-    per-slot scalar bookkeeping plus ONE masked reduction over the
-    original slot order; only [S]-sized vectors are permuted."""
+    params [S, P], snr_orig [S] (original slot order), n_sig scalar.
+    Returns (params_ranked, keep_orig [S] float, snr_ranked, n_valid):
+    surviving signals packed first in loudness order, dead slots
+    zero-masked, and the keep mask in ORIGINAL slot order for the
+    waveform-sum contraction."""
     s = params.shape[0]
     loud = loudness(params[:, 0], params[:, 1], params[:, 2])
     order = jnp.argsort(-loud)                 # rank -> original slot
     params = params[order]                     # [S, P] small gather
 
     slot_live = jnp.arange(s) < n_sig          # in rank order
-    snr_orig = jnp.sqrt(jnp.sum(jnp.abs(h_w) ** 2, axis=(-2, -1)))  # [S]
     snr = snr_orig[order]
     keep = slot_live & (snr >= min_snr)
 
@@ -124,9 +120,19 @@ def _rank_and_gate(params, h_w, n_sig, min_snr):
     params = jnp.where(live[:, None], params, 0.0)
     snr = jnp.where(live, snr, 0.0)
 
-    # the summed spectrum only needs the KEEP mask in ORIGINAL slot order
     keep_orig = jnp.zeros((s,), jnp.float32).at[order].set(
         keep.astype(jnp.float32))
+    return params, keep_orig, snr, n_valid
+
+
+def _rank_and_gate(params, h_w, n_sig, min_snr):
+    """Single-event compatibility wrapper over _gate_from_snr (the batch
+    path computes SNR and the masked sum in separately-FUSED passes — see
+    simulate_batch's TPU note). Returns (params_ranked, sig_fd_sum,
+    snr_ranked, n_valid)."""
+    snr_orig = jnp.sqrt(jnp.sum(jnp.abs(h_w) ** 2, axis=(-2, -1)))  # [S]
+    params, keep_orig, snr, n_valid = _gate_from_snr(params, snr_orig,
+                                                     n_sig, min_snr)
     sig_fd = jnp.einsum("s,sdf->df", keep_orig, h_w)
     return params, sig_fd, snr, n_valid
 
@@ -160,7 +166,7 @@ def _glitch_burst(key: jax.Array, prob: float,
 
 def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
                    asd: jax.Array, cfg: SimConfig, bank=None,
-                   real_feed=None, h_w: jax.Array | None = None):
+                   real_feed=None, pre=None):
     """Assemble one whitened 3-detector training event.
 
     params [S, N_PARAMS] prior draws (unordered), n_sig scalar. Optional
@@ -170,20 +176,20 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
     asd_bands reports the sensitivity summary (remix_data.py semantics).
     `real_feed` = (noise [3,T], recolor [3,F], bands [3,K]) supplies the
     crop externally (the host-side big-bank path, data/host_feed.py) —
-    takes precedence over `bank`. `h_w` [S, n_det, F] supplies the
-    whitened per-signal spectra precomputed OUTSIDE the per-event vmap
-    (simulate_batch does this: a flat [B·S] waveform batch measures ~4x
-    faster than the same work nested vmap(event)∘vmap(slot) —
-    reports/sim_profile3.json full vs wave_only). Returns an EventBatch
-    (no batch dim)."""
+    takes precedence over `bank`. `pre` = (params_ranked, sig_fd,
+    snr_ranked, n_valid) supplies the gated waveform sum precomputed by
+    simulate_batch's fused two-pass path (see its TPU note). Returns an
+    EventBatch (no batch dim)."""
     (k_noise, k_drop, k_cfg, k_fill, k_real, k_use,
      k_glitch) = jax.random.split(key, 7)
 
-    if h_w is None:
+    if pre is None:
         h_w = jax.vmap(lambda p: signal_white_fd(p, asd,
                                                  cfg.f_lower))(params)
-    params, sig_fd, sig_snr, n_valid = _rank_and_gate(params, h_w, n_sig,
-                                                      cfg.min_snr)
+        params, sig_fd, sig_snr, n_valid = _rank_and_gate(
+            params, h_w, n_sig, cfg.min_snr)
+    else:
+        params, sig_fd, sig_snr, n_valid = pre
 
     # detector dropout: pick a keep-config with prob det_dropout
     drop = (jax.random.uniform(k_drop) < cfg.det_dropout)
@@ -260,16 +266,34 @@ def simulate_batch(key: jax.Array, batch_size: int,
     k_prior, k_sim = jax.random.split(key)
     params, n_sig = sample_batch(k_prior, batch_size, cfg.prior)
     keys = jax.random.split(k_sim, batch_size)
-    # waveforms as ONE flat [B·S] batch outside the per-event vmap: the
-    # nested vmap(event)∘vmap(slot) lowering of the same math measured
-    # ~4x slower on TPU (reports/sim_profile3.json)
+
+    # TPU note (reports/train_profile_r3.md §2): the naive structure —
+    # one [B,S,n_det,F] waveform stack consumed by BOTH the SNR gate and
+    # the slot sum — breaks XLA's producer fusion and materializes the
+    # per-slot arrays (plus layout transposes) to HBM: the whole sim was
+    # bandwidth-bound at ~6.4 GB/batch. Two separately-FUSED passes keep
+    # every per-slot tensor in registers (each pass's only output is
+    # [B,S] or [B,n_det,F]); the waveform math runs twice, and the
+    # program is still ~2x faster end to end (sim_probe.json
+    # wave_twopass vs full).
     b, s, p = params.shape
-    h_w_flat = jax.vmap(lambda q: signal_white_fd(q, asd, cfg.f_lower))(
-        params.reshape(b * s, p))
-    h_w = h_w_flat.reshape(b, s, *h_w_flat.shape[1:])
+    flat = params.reshape(b * s, p)
+
+    def _wave(q):
+        return signal_white_fd(q, asd, cfg.f_lower)
+
+    snr = jax.vmap(lambda q: jnp.sqrt(jnp.sum(jnp.abs(_wave(q)) ** 2)))(
+        flat).reshape(b, s)
+    params_r, keep_orig, snr_r, n_valid = jax.vmap(
+        lambda pp, sn, n: _gate_from_snr(pp, sn, n, cfg.min_snr))(
+        params, snr, n_sig)
+    h_w = jax.vmap(_wave)(flat).reshape(b, s, N_DETECTORS, -1)
+    sig_fd = jnp.einsum("bs,bsdf->bdf", keep_orig, h_w)
+    pre = (params_r, sig_fd, snr_r, n_valid)
+
     if real_feed is not None:
-        return jax.vmap(lambda k, pp, n, hw, rn, rf, rb: simulate_event(
-            k, pp, n, asd, cfg, None, (rn, rf, rb), hw))(
-            keys, params, n_sig, h_w, *real_feed)
-    return jax.vmap(lambda k, pp, n, hw: simulate_event(
-        k, pp, n, asd, cfg, bank, None, hw))(keys, params, n_sig, h_w)
+        return jax.vmap(lambda k, pr, rn, rf, rb: simulate_event(
+            k, None, None, asd, cfg, None, (rn, rf, rb), pr))(
+            keys, pre, *real_feed)
+    return jax.vmap(lambda k, pr: simulate_event(
+        k, None, None, asd, cfg, bank, None, pr))(keys, pre)

@@ -86,6 +86,34 @@ def main(argv=None):
         return jnp.sum(jnp.abs(h) ** 2)
     progs["wave_only"] = jax.jit(wave_only)
 
+    def wave_sum(k):
+        # consumer = per-event slot sum (the full-program pattern): does
+        # materializing [B,S,3,F] explain the full-vs-wave_only gap?
+        p = flat_params(k)
+        h = jax.vmap(lambda q: signal_white_fd(q, asd))(p)
+        w = jnp.arange(b * s, dtype=jnp.float32) % 2.0
+        sig = jnp.einsum("e,edf->df", w, h.reshape(b, s, 3, -1)
+                         .reshape(b * s, 3, -1))
+        sig = jnp.einsum("es,esdf->edf",
+                         w.reshape(b, s), h.reshape(b, s, 3, -1))
+        return jnp.sum(jnp.abs(sig) ** 2)
+    progs["wave_sum"] = jax.jit(wave_sum)
+
+    def wave_twopass(k):
+        # candidate fix: pass 1 = fused SNR reduction per flat signal;
+        # pass 2 = slot-weighted sum einsum whose producer recomputes the
+        # waveform inline (output only [B,3,F], never [B,S,3,F])
+        p = flat_params(k)
+
+        def one(q):
+            return signal_white_fd(q, asd)
+        snr2 = jax.vmap(lambda q: jnp.sum(jnp.abs(one(q)) ** 2))(p)
+        w = (snr2 > 64.0).astype(jnp.float32).reshape(b, s)
+        h = jax.vmap(one)(p).reshape(b, s, 3, -1)
+        sig = jnp.einsum("es,esdf->edf", w, h)
+        return jnp.sum(jnp.abs(sig) ** 2)
+    progs["wave_twopass"] = jax.jit(wave_twopass)
+
     def amp_phase(k):
         p = flat_params(k)
 
