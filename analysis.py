@@ -107,6 +107,47 @@ def fig_twin_grid(outdir, data):
     return "twin_grid.png"
 
 
+def fig_anchors(outdir, data):
+    """Sampler-anchor evidence (analysis/anchors.json): per-parameter
+    median offset (in sampler sigma) and width ratio of NPE and
+    IS-corrected NPE against the nested sampler, per anchor injection
+    (reference: scripts/benchmark_real_events.py artifact family)."""
+    plt = _mpl()
+    anchors = data["anchors"]
+    if not anchors:
+        return None
+    names = sorted(anchors)
+    pnames = anchors[names[0]]["param_names"]
+    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    x = list(range(len(pnames)))
+    for i, nm in enumerate(names):
+        a = anchors[nm]
+        off = len(names) // 2
+        for key_, color, lbl in (("comparison_npe_vs_sampler", C_BLUE,
+                                  "NPE"),
+                                 ("comparison_is_vs_sampler", C_RED,
+                                  "IS-corrected")):
+            comp = a[key_]
+            med = [comp[p]["median_offset_sigma"] for p in pnames]
+            wr = [comp[p]["width_ratio"] for p in pnames]
+            xs = [xx + 0.08 * (i - off) for xx in x]
+            kw = dict(color=color, alpha=0.7, s=18)
+            axes[0].scatter(xs, med, label=lbl if i == 0 else None, **kw)
+            axes[1].scatter(xs, wr, label=lbl if i == 0 else None, **kw)
+    axes[0].axhline(0, color=C_GREY, lw=1)
+    axes[0].set_ylabel("median offset [sampler σ]")
+    axes[0].legend()
+    axes[1].axhline(1, color=C_GREY, lw=1)
+    axes[1].set_ylabel("90% width ratio vs sampler")
+    axes[1].set_xticks(x)
+    axes[1].set_xticklabels(pnames, rotation=45, ha="right")
+    fig.suptitle(f"NPE vs nested-sampler anchors ({len(names)} injections)")
+    fig.tight_layout()
+    fig.savefig(outdir / "anchors.png", dpi=110)
+    plt.close(fig)
+    return "anchors.png"
+
+
 def fig_bench(outdir, benches):
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(6, 4))
@@ -154,6 +195,13 @@ def main(argv=None):
         made.append(fig_twin_grid(outdir, json.loads(tg.read_text())))
     else:
         skipped.append("twin_grid")
+
+    an = Path("analysis/anchors.json")
+    if an.exists():
+        p = fig_anchors(outdir, json.loads(an.read_text()))
+        (made if p else skipped).append(p or "anchors (empty)")
+    else:
+        skipped.append("anchors")
 
     benches = {}
     for b in Path(".").glob("BENCH_r*.json"):

@@ -141,16 +141,21 @@ def sample_real_noise(key: jax.Array, bank: NoiseBank):
                              bank.segment_len - N_SAMPLES)
     flip = jax.random.bernoulli(k_flip, 0.5, (n_det,))
 
-    def per_det(d):
-        seg = bank.segments[d, seg_idx[d]]
-        crop = jax.lax.dynamic_slice(seg, (off[d],),
+    # Static unroll over detectors + ONE flat dynamic_slice per crop.
+    # (The previous vmap(per_det) made `d` a traced index, so
+    # segments[d, seg_idx[d]] gathered a full 512 KB segment ROW per
+    # draw — ~790 MB of HBM gather traffic per batch-256 event batch,
+    # the dominant sim cost once the waveform passes were fixed.)
+    crops, filts, bandss = [], [], []
+    for d in range(n_det):
+        flat = bank.segments[d].reshape(-1)      # metadata-only reshape
+        start = seg_idx[d] * bank.segment_len + off[d]
+        crop = jax.lax.dynamic_slice(flat, (start,),
                                      (N_SAMPLES,)).astype(jnp.float32)
-        crop = jnp.where(flip[d], -crop[::-1], crop)
-        return crop, bank.recolor[d, seg_idx[d]], \
-            bank.asd_bands[d, seg_idx[d]]
-
-    noise, filt, bands = jax.vmap(per_det)(jnp.arange(n_det))
-    return noise, filt, bands
+        crops.append(jnp.where(flip[d], -crop[::-1], crop))
+        filts.append(bank.recolor[d, seg_idx[d]])
+        bandss.append(bank.asd_bands[d, seg_idx[d]])
+    return jnp.stack(crops), jnp.stack(filts), jnp.stack(bandss)
 
 
 def recolor_signal(sig_white_td: jnp.ndarray,

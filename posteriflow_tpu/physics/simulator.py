@@ -27,10 +27,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from posteriflow_tpu.physics.constants import (F_LOWER, FREQS,
-                                               N_DETECTORS, N_SAMPLES)
-from posteriflow_tpu.physics.projection import project_to_network
+from posteriflow_tpu.physics.constants import (DELTA_F, DURATION, F_LOWER,
+                                               FREQS, N_DETECTORS,
+                                               N_SAMPLES)
+from posteriflow_tpu.physics.projection import (GMST_REF, OMEGA_EARTH,
+                                                network_response,
+                                                project_to_network)
 from posteriflow_tpu.physics.psd import default_network_asd
 from posteriflow_tpu.physics.waveforms import imr_polarizations
 from posteriflow_tpu.physics.whiten import fd_white_to_td, whiten_fd
@@ -85,11 +89,62 @@ def signal_white_fd(params: jax.Array, asd: jax.Array,
     params: [N_PARAMS] physical (PARAM_NAMES order). In the whitened-FD
     normalization, per-detector optimal SNR is the plain L2 norm over bins.
     """
-    (m1, m2, d, ra, dec, theta_jn, psi, phase, t_off, a1, a2) = params
-    hp, hc = imr_polarizations(_FREQS, m1, m2, a1, a2, d, theta_jn, phase,
-                               f_lower)
-    h_det = project_to_network(_FREQS, hp, hc, ra, dec, psi, t_off)
-    return whiten_fd(h_det, asd)
+    (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2) = params
+    from posteriflow_tpu.physics.waveforms.tidal import \
+        phenomd_matter_amp_phase
+    amp, psi = phenomd_matter_amp_phase(_FREQS, m1, m2, a1, a2, d, phase,
+                                        f_lower)
+    # Fused polarization-mix + time-shift + whiten (exact identity):
+    # with h₊ = A·½(1+c²)e^{-iΨ}, hₓ = A·c·ie^{-iΨ} and per-detector
+    # response (F₊ᵈw₊ + iFₓᵈwₓ) = W_d e^{iφ_d},
+    #   h_d(f) = A(f)·W_d·e^{-i(Ψ + 2πfτ_d − φ_d)} / ASD_d · √(4Δf)
+    # — ONE sincos per (det, bin) instead of e^{-iΨ} + per-det shift
+    # sincos + complex multiplies (the sim hot loop, train_profile_r3.md).
+    ci = jnp.cos(theta_jn)
+    gmst = GMST_REF + OMEGA_EARTH * t_off
+    f_plus, f_cross, dt = network_response(ra, dec, psi_pol, gmst)
+    wp = f_plus * (0.5 * (1.0 + ci * ci))
+    wc = f_cross * ci
+    w = jnp.sqrt(wp * wp + wc * wc)                      # [n_det]
+    phi_d = jnp.arctan2(wc, wp)
+    tau = (0.5 * DURATION + t_off + dt).astype(jnp.float32)
+    # mod-1 cycles before the 2π multiply: float32 phase error ≪ a radian
+    # at 2 kHz (projection.py convention note)
+    cycles = jnp.mod(_FREQS[None, :] * tau[:, None], 1.0)
+    theta = psi[None, :] + (2.0 * jnp.pi) * cycles - phi_d[:, None]
+    mag = (amp[None, :] * w[:, None] / jnp.maximum(asd, 1e-38)) \
+        * float(np.sqrt(4.0 * DELTA_F))
+    h = mag * jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+    return h.astype(jnp.complex64)
+
+
+def signal_snr_amp_only(params: jax.Array, asd: jax.Array,
+                        f_lower: float = F_LOWER) -> jax.Array:
+    """Network SNR of one signal WITHOUT synthesizing the waveform.
+
+    Exact identity: with h̃₊ = A(f)·½(1+cos²ι)·e^{-iΨ} and
+    h̃ₓ = A(f)·cosι·i·e^{-iΨ}, the per-detector projection is
+    h_d = A e^{-iΨ}(F₊ᵈ·½(1+c²) + i Fₓᵈ·c)·e^{-2πifτ_d}, so the phase Ψ
+    and every time shift drop out of |h_d(f)| = A(f)·w_d. Hence
+
+        ρ² = 4Δf Σ_f A(f)² Σ_d w_d²/ASD_d(f)²
+
+    needs only the amplitude chain — XLA dead-code-eliminates the whole
+    per-bin phase series of phenomd_matter_amp_phase when ψ is unused,
+    which is what makes the SNR gate pass of simulate_batch cheap
+    (reports/sim_bisect.json no_gate vs no_barrier)."""
+    from posteriflow_tpu.physics.waveforms.tidal import \
+        phenomd_matter_amp_phase
+    (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2) = params
+    amp, _psi_dead = phenomd_matter_amp_phase(_FREQS, m1, m2, a1, a2, d,
+                                              phase, f_lower)
+    ci = jnp.cos(theta_jn)
+    gmst = GMST_REF + OMEGA_EARTH * t_off
+    f_plus, f_cross, _dt = network_response(ra, dec, psi_pol, gmst)
+    w2 = (f_plus * 0.5 * (1.0 + ci * ci)) ** 2 + (f_cross * ci) ** 2
+    inv_asd2 = 1.0 / jnp.maximum(asd, 1e-38) ** 2          # [n_det, F]
+    band = jnp.sum(w2[:, None] * inv_asd2, axis=0)         # [F]
+    return jnp.sqrt(4.0 * DELTA_F * jnp.sum(amp * amp * band))
 
 
 def _gate_from_snr(params, snr_orig, n_sig, min_snr):
@@ -100,29 +155,30 @@ def _gate_from_snr(params, snr_orig, n_sig, min_snr):
     Returns (params_ranked, keep_orig [S] float, snr_ranked, n_valid):
     surviving signals packed first in loudness order, dead slots
     zero-masked, and the keep mask in ORIGINAL slot order for the
-    waveform-sum contraction."""
+    waveform-sum contraction.
+
+    Branchless one-hot-matmul formulation: ranks come from pairwise
+    comparison counts and the compaction from a keep-gated prefix count —
+    no argsort/gather/scatter (the sort-based version cost ~7 ms/batch of
+    pure fine-grained-op overhead on [256, 5] data; reports/
+    sim_bisect.json no_gate vs no_barrier)."""
     s = params.shape[0]
+    idx = jnp.arange(s)
     loud = loudness(params[:, 0], params[:, 1], params[:, 2])
-    order = jnp.argsort(-loud)                 # rank -> original slot
-    params = params[order]                     # [S, P] small gather
-
-    slot_live = jnp.arange(s) < n_sig          # in rank order
-    snr = snr_orig[order]
-    keep = slot_live & (snr >= min_snr)
-
-    # stable-compact kept signals to the front (loudness order preserved)
-    perm = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-    params = params[perm]
-    snr = snr[perm]
+    # descending-loudness rank of original slot i (index tie-break)
+    gt = (loud[None, :] > loud[:, None]) | (
+        (loud[None, :] == loud[:, None]) & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(gt, axis=1)                       # [S] int
+    # a slot is live if its rank is among the first n_sig; keep = live & SNR
+    keep = (rank < n_sig) & (snr_orig >= min_snr)    # original order
     n_valid = jnp.sum(keep).astype(jnp.int32)
-
-    live = (jnp.arange(s) < n_valid)
-    params = jnp.where(live[:, None], params, 0.0)
-    snr = jnp.where(live, snr, 0.0)
-
-    keep_orig = jnp.zeros((s,), jnp.float32).at[order].set(
-        keep.astype(jnp.float32))
-    return params, keep_orig, snr, n_valid
+    # compacted position of kept slot i = kept slots with smaller rank
+    pos = jnp.sum(keep[None, :] & (rank[None, :] < rank[:, None]), axis=1)
+    onehot = (keep[:, None] & (pos[:, None] == idx[None, :])
+              ).astype(params.dtype)                 # [S_in, S_out]
+    params_r = jnp.einsum("io,ip->op", onehot, params)
+    snr_r = jnp.einsum("io,i->o", onehot, snr_orig)
+    return params_r, keep.astype(jnp.float32), snr_r, n_valid
 
 
 def _rank_and_gate(params, h_w, n_sig, min_snr):
@@ -221,9 +277,14 @@ def simulate_event(key: jax.Array, params: jax.Array, n_sig: jax.Array,
             # decorrelation trick) — the host feed ships one crop per event
             r_fill = -r_noise[:, ::-1]
         else:
-            k_r1, k_r2 = jax.random.split(k_real)
+            k_r1, _ = jax.random.split(k_real)
             r_noise, r_filt, r_bands = sample_real_noise(k_r1, bank)
-            r_fill, _, _ = sample_real_noise(k_r2, bank)
+            # dropout fill: the same crop time-flipped+negated — identical
+            # to the host-feed semantics above. Safe because a detector
+            # shows EITHER noise OR fill, never both (strain where below),
+            # and crops are per-detector independent; halves the bank's
+            # HBM crop traffic vs an independent second draw
+            r_fill = -r_noise[:, ::-1]
         # re-coloring is diagonal in frequency, so it folds into the FD
         # spectrum BEFORE the (single) irfft — exactly recolor_signal
         # (irfft(rfft(s)·filt)) without the extra rfft/irfft pair the
@@ -282,13 +343,24 @@ def simulate_batch(key: jax.Array, batch_size: int,
     def _wave(q):
         return signal_white_fd(q, asd, cfg.f_lower)
 
-    snr = jax.vmap(lambda q: jnp.sqrt(jnp.sum(jnp.abs(_wave(q)) ** 2)))(
+    # SNR-gate pass: amplitude-only exact SNR (phase/time-shift drop out
+    # of |h|; see signal_snr_amp_only) — the full waveform is synthesized
+    # exactly ONCE per slot, in the slot-sum pass below
+    snr = jax.vmap(lambda q: signal_snr_amp_only(q, asd, cfg.f_lower))(
         flat).reshape(b, s)
     params_r, keep_orig, snr_r, n_valid = jax.vmap(
         lambda pp, sn, n: _gate_from_snr(pp, sn, n, cfg.min_snr))(
         params, snr, n_sig)
     h_w = jax.vmap(_wave)(flat).reshape(b, s, N_DETECTORS, -1)
-    sig_fd = jnp.einsum("bs,bsdf->bdf", keep_orig, h_w)
+    # slot sum as an elementwise-mask + reduce, NOT an einsum/dot: the dot
+    # lowering wants the slot axis minor and TRANSPOSES the [B,S,F]
+    # per-slot arrays (HLO census: 2x168 MB of pure layout traffic);
+    # a reduce fuses the masked producer directly
+    # NOTE: no optimization_barrier here — forcing the summed spectrum to
+    # materialize measured 30 ms SLOWER than letting XLA schedule freely
+    # (reports/sim_bisect.json full-with-barrier 49.5 ms vs no_barrier
+    # 19.8 ms); the fusion-duplication hypothesis was wrong
+    sig_fd = jnp.sum(keep_orig[:, :, None, None] * h_w, axis=1)
     pre = (params_r, sig_fd, snr_r, n_valid)
 
     if real_feed is not None:

@@ -219,6 +219,22 @@ def test_imr_continuous_at_stitch():
 
 # ── simulator ─────────────────────────────────────────────────────────────────
 
+def test_amp_only_snr_matches_full_waveform():
+    """signal_snr_amp_only (the SNR-gate pass) must equal the L2 norm of
+    the fully synthesized whitened waveform to f32 roundoff — the phase
+    and time shifts drop out of |h| exactly."""
+    from posteriflow_tpu.physics.simulator import signal_snr_amp_only
+    from posteriflow_tpu.prior import PriorConfig, sample_batch
+    asd = default_network_asd()
+    params, _ = sample_batch(jax.random.PRNGKey(42), 8, PriorConfig())
+    flat = params.reshape(-1, params.shape[-1])
+    full = jax.jit(jax.vmap(lambda q: jnp.sqrt(
+        jnp.sum(jnp.abs(signal_white_fd(q, asd)) ** 2))))(flat)
+    amp = jax.jit(jax.vmap(lambda q: signal_snr_amp_only(q, asd)))(flat)
+    rel = jnp.abs(full - amp) / jnp.maximum(full, 1e-6)
+    assert float(jnp.max(rel)) < 1e-4
+
+
 @jax.jit
 def _sim16(k):
     return simulate_batch(k, 16, SimConfig())
