@@ -145,7 +145,8 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
 
 
 def symmetrized_log_q(engine, context: jnp.ndarray, rank: int,
-                      theta: jnp.ndarray) -> jnp.ndarray:
+                      theta: jnp.ndarray,
+                      pad_block: int = 4096) -> jnp.ndarray:
     """Mass-symmetrized proposal density in PHYSICAL units:
     log[(q(m1,m2) + q(m2,m1))/2] — the amortized flow only ever sees
     m1 ≥ m2, but the likelihood is symmetric (reference: importance.py:69-95).
@@ -166,7 +167,7 @@ def symmetrized_log_q(engine, context: jnp.ndarray, rank: int,
         r = jnp.full((t.shape[0],), rank, dtype=jnp.int32)
         return _log_q_phys(t, ctx, r)
 
-    lqp = _padded(log_q_phys, 4096)
+    lqp = _padded(log_q_phys, pad_block)
     swapped = theta.at[:, 0].set(theta[:, 1]).at[:, 1].set(theta[:, 0])
     lq = jnp.stack([lqp(theta), lqp(swapped)])
     # SUM, not average: pipeline folds samples into m1 >= m2 by swapping,
@@ -196,6 +197,7 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
                        ladder_target_frac: float = 0.2,
                        max_stages: int = 25,
                        marginalized: bool = False,
+                       pad_block: int = 4096,
                        seed: int = 0) -> ISResult:
     """Exact correction of amortized samples against the true likelihood.
 
@@ -235,23 +237,36 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
     # fixed-shape evaluation: every distinct batch size would otherwise
     # compile a fresh 4096-waveform likelihood program (minutes each on
     # the tunneled chip); pad to one canonical size and slice
-    log_l_fn = _padded(log_l_fn, 4096)
-    log_prior_fn = _padded(log_prior_fn, 4096)
+    log_l_fn = _padded(log_l_fn, pad_block)
+    log_prior_fn = _padded(log_prior_fn, pad_block)
 
     keep = ~np.asarray(railed)                 # exclude railed draws
     theta = jnp.asarray(samples[keep], dtype=jnp.float32)
     lq = np.asarray(
-        symmetrized_log_q(engine, context, rank, theta))
+        symmetrized_log_q(engine, context, rank, theta,
+                          pad_block=pad_block))
     ll = np.asarray(log_l_fn(theta))
     lp = np.asarray(log_prior_fn(theta))
 
     if marginalized:
         from scipy.stats import gaussian_kde
+
+        from posteriflow_tpu.prior import _T_OFF_HI, _T_OFF_LO
         tc = np.asarray(theta[:, 8], np.float64)
         kde_tc = gaussian_kde(tc + 1e-9 * np.random.default_rng(seed)
                               .standard_normal(len(tc)))
+        # consistent 11-D proposal density: slow dims keep the flow's
+        # marginal q_joint·2π/KDE(t) (factor out the ~uniform φ_c
+        # conditional and the KDE t_c marginal, reference
+        # importance.py:192-202), fast dims are REASSIGNED the flat prior
+        # (1/2π)(1/Δt) — the integrand L_marg·π is fast-independent, so
+        # any fast-dim proposal is valid, but the density used must be a
+        # proper 11-D density or logZ inherits a constant bias:
+        #   q11 = [q_joint·2π/KDE]·(1/2π)(1/Δt) = q_joint/(KDE·Δt).
+        # (The previous +log 2π form left every marginalized logZ low by
+        # exactly log(2π·Δt) ≈ 2.94 nats.)
         lq = lq - np.log(np.maximum(kde_tc(tc), 1e-300)) \
-            + np.log(2.0 * np.pi)
+            - np.log(_T_OFF_HI - _T_OFF_LO)
 
     log_w = ll + lp - lq
     log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
@@ -264,14 +279,15 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
                         log_l_fn, log_prior_fn,
                         ladder_target_frac=ladder_target_frac,
                         max_stages=max_stages, marginalized=marginalized,
-                        seed=seed)
+                        n_floor=pad_block, seed=seed)
 
 
 def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
                  lp: np.ndarray, log_l_fn: Callable, log_prior_fn: Callable,
                  ladder_target_frac: float = 0.2, max_stages: int = 25,
                  prior_sampler: Callable = None, prior_mix: float = 0.3,
-                 marginalized: bool = False, seed: int = 0) -> ISResult:
+                 marginalized: bool = False, n_floor: int = 4096,
+                 seed: int = 0) -> ISResult:
     """Adaptive tempered ladder with per-stage re-anchoring (the
     importance_correct fallback; separable for direct testing against a
     synthetic likelihood).
@@ -308,7 +324,7 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
     # rejuvenation stages may carry MORE particles than the input cloud:
     # the GMM fit quality (hence the reachable per-rung ESS) is limited by
     # particle count, and the likelihood is one vmapped JAX batch — cheap
-    n = max(len(theta), 4096)
+    n = max(len(theta), n_floor)
     cur = theta
     cur_ll, cur_lp = ll, lp
     cur_lg = lq                                # exact stage-proposal density

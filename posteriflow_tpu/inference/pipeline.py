@@ -56,6 +56,18 @@ class InferenceEngine:
     def from_checkpoint(cls, ckpt_dir: str | Path, name: str = "best"):
         from posteriflow_tpu.inference.gating import load_bias_map
         from posteriflow_tpu.train.checkpoints import CheckpointManager
+        # a git-committed release export (params.msgpack at the top level)
+        # loads directly — training checkpoints under model/ are ephemeral
+        # (gitignored), release dirs are the durable deployment format
+        if (Path(ckpt_dir) / "params.msgpack").exists():
+            params, cfg, _meta = CheckpointManager.load_release(ckpt_dir)
+            ood_path = Path(ckpt_dir) / "ood_stats.npz"
+            from posteriflow_tpu.inference.ood import ContextStats
+            stats = (ContextStats.load(ood_path) if ood_path.exists()
+                     else None)
+            bias_map = (load_bias_map(Path(ckpt_dir) / "twin_grid.json")
+                        or load_bias_map())
+            return cls(params, cfg, ood_stats=stats, bias_map=bias_map)
         cm = CheckpointManager(ckpt_dir)
         state, cfg, _meta = cm.restore(name)
         ood_path = Path(ckpt_dir) / "ood_stats.npz"

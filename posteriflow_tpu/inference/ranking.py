@@ -34,16 +34,25 @@ def extract_segments(strain: np.ndarray, t_offs: np.ndarray) -> np.ndarray:
 
 
 _DEFAULT_NET = None
-_DEFAULT_NET_PATH = Path("model/priority_v2/priority_params.msgpack")
+# release export first (git-committed, durable), then the ephemeral
+# training dir (model/ is gitignored — weights there do not survive)
+_DEFAULT_NET_PATHS = (
+    Path("model_release/priority_v3/priority_params.msgpack"),
+    Path("model/priority_v2/priority_params.msgpack"),
+)
 
 
 def _default_priority_net():
     """Lazily load the repo's trained PriorityNet when present (reference
     load_priority_net default-checkpoint behavior)."""
     global _DEFAULT_NET
-    if _DEFAULT_NET is None and _DEFAULT_NET_PATH.exists():
-        from posteriflow_tpu.train.train_priority import load_priority_net
-        _DEFAULT_NET = load_priority_net(_DEFAULT_NET_PATH)
+    if _DEFAULT_NET is None:
+        for p in _DEFAULT_NET_PATHS:
+            if p.exists():
+                from posteriflow_tpu.train.train_priority import \
+                    load_priority_net
+                _DEFAULT_NET = load_priority_net(p)
+                break
     return _DEFAULT_NET
 
 

@@ -87,8 +87,14 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
                  "records)", resume_from, epoch_offset, int(state.step),
                  len(prior_history))
     elif init_from:
-        state, meta = CheckpointManager(Path(init_from).parent) \
-            .fine_tune_restore(Path(init_from).name, cfg)
+        if (Path(init_from) / "params.msgpack").exists():
+            # release export (git-committed msgpack): weights only, fresh
+            # optimizer under cfg — the durable fine-tune entry point
+            params, _r_cfg, meta = CheckpointManager.load_release(init_from)
+            state = state.replace(params=params)
+        else:
+            state, meta = CheckpointManager(Path(init_from).parent) \
+                .fine_tune_restore(Path(init_from).name, cfg)
         log.info("fine-tuning from %s (epoch %s)", init_from,
                  meta.get("epoch"))
     n_params = sum(x.size for x in jax.tree.leaves(state.params))

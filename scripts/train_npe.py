@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--real-noise-prob", type=float, default=None,
                     help="per-event probability of a real-noise crop "
                          "(reference: train_lean_npe.py --real_noise_prob)")
+    ap.add_argument("--grad-clip-mode", choices=("global", "agc"),
+                    default=None,
+                    help="override TrainConfig.grad_clip_mode (the r3 "
+                         "grad-norm-growth investigation)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
     ap.add_argument("--prng", default="threefry2x32",
@@ -84,7 +88,9 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, npe=npe, sim=sim, total_steps=total,
         **({"batch_size": args.batch} if args.batch else {}),
-        **({"lr": args.lr} if args.lr else {}))
+        **({"lr": args.lr} if args.lr else {}),
+        **({"grad_clip_mode": args.grad_clip_mode}
+           if args.grad_clip_mode else {}))
 
     bank = None
     if args.noise_bank:

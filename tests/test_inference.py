@@ -159,7 +159,8 @@ def test_importance_correction_on_injection(engine):
                         jnp.asarray(prep.asd_bands)[None])
     log_l = make_log_likelihood(prep.strain)
     out = importance_correct(engine, ctx[0], 0, res.samples, res.log_prob,
-                             res.railed, log_l, max_stages=2)
+                             res.railed, log_l, max_stages=2,
+                             pad_block=256)
     assert out.samples.shape[1] == 11
     assert np.isfinite(out.weights).all()
     assert 0.0 < out.ess <= len(out.samples)
@@ -174,13 +175,17 @@ def test_tempered_ladder_on_injection(engine):
     logZ 0.0, converged-looking output)."""
     weak = dict(BBH, luminosity_distance=1800.0)
     prep = prepare_simulated([weak], seed=6)
-    res = infer(engine, data=prep, n_samples=8192, seed=6)
+    res = infer(engine, data=prep, n_samples=1024, seed=6)
     ctx = engine.encode(jnp.asarray(prep.strain)[None],
                         jnp.asarray(prep.asd_bands)[None])
     log_l = make_log_likelihood(prep.strain)
+    # pad_block keeps every ladder stage at 1024 likelihood evaluations —
+    # the production 4096 floor is a single-CPU-core suite killer (~3 ms
+    # per [3, 8193] waveform: 10 stages x 8192 evals measured >25 min)
     tempered = importance_correct(engine, ctx[0], 0, res.samples,
                                   res.log_prob, res.railed, log_l,
-                                  min_ess_frac=0.999, max_stages=10)
+                                  min_ess_frac=0.999, max_stages=6,
+                                  pad_block=1024)
     assert isinstance(tempered.converged, bool)
     if tempered.converged:
         assert tempered.beta_ladder[-1] >= 1.0 - 1e-6
