@@ -90,6 +90,7 @@ def main(argv=None):
             "n_stages": int(is_res.n_stages),
             "converged": bool(is_res.converged),
             "beta_ladder": is_res.beta_ladder,
+            "mcmc_acceptance": is_res.mcmc_acceptance,
             "log_evidence_ratio": round(float(is_res.log_evidence_ratio),
                                         2),
             "corrected_mc_median": round(float(
