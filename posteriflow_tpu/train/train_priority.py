@@ -100,7 +100,12 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
     segs, cand, mask, targets = jax.jit(
         lambda k: make_priority_batch(k, cfg))(k_init)
     params = jax.jit(net.init)(k_init, segs, cand, mask)
-    tx = optax.adam(cfg.lr)
+    # cosine decay to 5% peak: the flat-LR run plateaus by ~3k steps with
+    # near-tie pairs still at chance (the [0,0.1) separation bin) — the
+    # decayed tail lets the margin loss settle those pairs
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, min(100, steps // 10), max(steps, 2), 0.05 * cfg.lr)
+    tx = optax.adam(sched)
     opt_state = tx.init(params)
 
     @jax.jit

@@ -60,6 +60,7 @@ def main(argv=None):
     pair_bins = {b: [0, 0] for b in ((0.0, 0.1), (0.1, 0.3), (0.3, 1.0),
                                      (1.0, 10.0))}
     sig_err = []
+    cand_sig_err = []
     for i in range(args.n_batches):
         segs, cand, mask, targets = batch_fn(
             jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
@@ -100,12 +101,18 @@ def main(argv=None):
                         if lo <= sep < hi:
                             acc[0] += int(correct)
                             acc[1] += 1
-            # uncertainty vs error
+            # uncertainty vs error: per-candidate |score error| (what the
+            # heteroscedastic NLL trains sigma to predict) and the
+            # event-level rank displacement
             rank_err = float(np.abs(np.argsort(np.argsort(-sc))
                                     - np.argsort(np.argsort(-tg))).mean())
             sig_err.append((float(sg.mean()), rank_err))
+            for a in range(k):
+                cand_sig_err.append((float(sg[a]),
+                                     float(abs(sc[a] - tg[a]))))
 
     sig_err = np.asarray(sig_err)
+    cand_sig_err = np.asarray(cand_sig_err)
     report = {
         "n_scenarios": n_multi,
         "top1": top1 / max(n_multi, 1),
@@ -119,6 +126,14 @@ def main(argv=None):
         "uncertainty_error_corr": float(np.corrcoef(
             sig_err[:, 0], sig_err[:, 1])[0, 1]) if len(sig_err) > 3
         else None,
+        # per-candidate calibration: corr(sigma_i, |score_i - target_i|) —
+        # the quantity the uncertainty head is trained to predict
+        # (reference uncertainty-calibration loss, priority_net.py:414-538)
+        "uncertainty_score_err_corr": float(np.corrcoef(
+            cand_sig_err[:, 0], cand_sig_err[:, 1])[0, 1])
+        if len(cand_sig_err) > 3 else None,
+        "sigma_spread": float(cand_sig_err[:, 0].std())
+        if len(cand_sig_err) else None,
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(report, indent=2))
