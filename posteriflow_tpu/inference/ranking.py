@@ -37,8 +37,8 @@ _DEFAULT_NET = None
 # release export first (git-committed, durable), then the ephemeral
 # training dir (model/ is gitignored — weights there do not survive)
 _DEFAULT_NET_PATHS = (
-    Path("model_release/priority_v3/priority_params.msgpack"),
-    Path("model/priority_v2/priority_params.msgpack"),
+    Path("model_release/priority_v5/priority_params.msgpack"),
+    Path("model/priority_v5/priority_params.msgpack"),
 )
 
 
@@ -76,9 +76,22 @@ def rank_overlapping(results: List, strain: np.ndarray,
             priority_model, priority_params = loaded
 
     if priority_model is not None and priority_params is not None:
+        snr_est = None
+        if getattr(priority_model, "use_snr_est", False):
+            # physics expected SNR of each candidate from its posterior
+            # medians (same feature the trainer computes on jittered truth)
+            import jax
+
+            from posteriflow_tpu.physics.psd import default_network_asd
+            from posteriflow_tpu.physics.simulator import \
+                signal_snr_amp_only
+            asd = default_network_asd()
+            snr_est = jax.jit(jax.vmap(
+                lambda q: signal_snr_amp_only(q, asd)))(
+                jnp.asarray(medians, dtype=jnp.float32))[None]
         scores, _sigma = priority_model.apply(
             priority_params, jnp.asarray(segs)[None],
-            jnp.asarray(medians)[None], mask)
+            jnp.asarray(medians)[None], mask, snr_est=snr_est)
         scores = np.asarray(scores[0])
     else:
         scores = np.asarray(loudness_fallback(jnp.asarray(medians)))

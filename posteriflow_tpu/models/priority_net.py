@@ -49,6 +49,31 @@ def physics_features(params: jnp.ndarray) -> jnp.ndarray:
                      axis=-1)
 
 
+def energy_features(seg: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, L] whitened strain segments -> [..., 12] excess-power stats.
+
+    Whitened detector noise is unit-variance white, so sum(x**2) over a
+    window of w samples has mean w and std sqrt(2 w); the excess over that
+    floor is (nearly) the matched-filter SNR**2 of whatever signal power
+    lies inside the window. Computing it explicitly at three merger-centered
+    window scales (full / quarter / sixteenth segment), per detector plus
+    network-summed, hands the net the sufficient statistic the conv stem
+    would otherwise have to learn x**2 pooling to recover — the [0, 0.1)
+    target-separation bin is decided by exactly this quantity (VERDICT r2
+    weak-#4; reference physics feature extractor role,
+    src/ahsd/core/priority_net.py:186-247)."""
+    length = seg.shape[-1]
+    feats = []
+    for w in (length, length // 4, length // 16):
+        lo = (length - w) // 2
+        e = jnp.sum(seg[..., lo:lo + w] ** 2, axis=-1)        # [..., 3]
+        z = (e - w) / jnp.sqrt(2.0 * w)                       # noise z-score
+        feats.append(jnp.asinh(z))
+        feats.append(jnp.asinh(jnp.sum(z, axis=-1, keepdims=True)
+                               / jnp.sqrt(3.0)))
+    return jnp.concatenate(feats, axis=-1)
+
+
 class SegmentEncoder(nn.Module):
     """[.., 3, SEG_LEN] whitened strain segment -> [.., width] embedding."""
     width: int = 64
@@ -67,16 +92,36 @@ class PriorityNet(nn.Module):
     d_model: int = 64
     n_heads: int = 4
     n_layers: int = 2
+    use_energy: bool = False    # v4+: excess-power features + aux SNR head
+    use_snr_est: bool = False   # v5+: physics expected-SNR input feature
 
     @nn.compact
     def __call__(self, segments: jnp.ndarray, params: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None,
+                 with_aux: bool = False,
+                 snr_est: Optional[jnp.ndarray] = None):
         """segments [B, n, 3, SEG_LEN]; params [B, n, 11]; mask [B, n]
-        (1 = real candidate). Returns (priority [B, n], sigma [B, n])."""
+        (1 = real candidate); snr_est [B, n] physics-computed expected
+        network SNR of each candidate (signal_snr_amp_only on the
+        candidate params — the full amplitude/antenna/PSD chain, so unlike
+        the Mc^(5/6)/d proxy it resolves sky- and inclination-driven
+        loudness differences; v5, VERDICT r2 weak-#4). Returns
+        (priority [B, n], sigma [B, n]), plus an auxiliary asinh(SNR/8)
+        regression [B, n] when with_aux."""
         b, n = params.shape[:2]
         seg_feat = SegmentEncoder(self.d_model)(segments)     # [B, n, d]
         phys = nn.gelu(nn.Dense(self.d_model)(physics_features(params)))
         tok = seg_feat + phys
+        if self.use_energy:
+            tok = tok + nn.gelu(nn.Dense(self.d_model, name="energy_proj")(
+                energy_features(segments)))
+        if self.use_snr_est and snr_est is not None:
+            live = snr_est if mask is None else jnp.where(mask > 0,
+                                                          snr_est, 0.0)
+            nmax = jnp.max(live, axis=-1, keepdims=True)
+            sf = jnp.stack([jnp.asinh(snr_est / 8.0),
+                            snr_est / jnp.maximum(nmax, 1e-6)], axis=-1)
+            tok = tok + nn.gelu(nn.Dense(self.d_model, name="snr_proj")(sf))
 
         attn_mask = None
         if mask is not None:
@@ -101,13 +146,19 @@ class PriorityNet(nn.Module):
         score = gain * score + bias
         if mask is not None:
             score = jnp.where(mask > 0, score, -1e9)
+        if with_aux:
+            aux = nn.Dense(1, name="snr_head")(tok)[..., 0] \
+                if self.use_energy else jnp.zeros_like(score)
+            return score, sigma, aux
         return score, sigma
 
 
 def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
                  sigma: jnp.ndarray, mask: jnp.ndarray,
                  margin_scale: float = 1.0,
-                 margin_floor: float = 0.02) -> jnp.ndarray:
+                 margin_floor: float = 0.02,
+                 aux: Optional[jnp.ndarray] = None,
+                 snr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Pairwise ADAPTIVE-margin ranking + MSE + uncertainty calibration
     (reference AdaptiveRankingLoss + PriorityLoss semantics,
     priority_net.py:358-538), fully vectorized over candidate pairs.
@@ -143,7 +194,15 @@ def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
     unc = jnp.sum(mask * (0.5 * err2 / sigma ** 2 + jnp.log(sigma))) \
         / jnp.maximum(jnp.sum(mask), 1.0)
 
-    return rank_term + 0.5 * mse + 0.3 * unc
+    total = rank_term + 0.5 * mse + 0.3 * unc
+    if aux is not None and snr is not None:
+        # auxiliary RAW network-SNR regression (asinh-compressed): richer
+        # supervision than the event-normalized target alone — near-tie
+        # normalized pairs can still differ in absolute loudness
+        aux_t = jnp.asinh(snr / 8.0)
+        total = total + 0.2 * (jnp.sum(mask * (aux - aux_t) ** 2)
+                               / jnp.maximum(jnp.sum(mask), 1.0))
+    return total
 
 
 def rank_by_score(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

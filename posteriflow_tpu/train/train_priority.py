@@ -40,6 +40,8 @@ class PriorityTrainConfig:
     min_snr: float = 6.0
     max_signals: int = 4
     d_model: int = 64
+    use_energy: bool = True     # v4: excess-power features + aux SNR head
+    use_snr_est: bool = True    # v5: physics expected-SNR input feature
 
     @property
     def sim(self) -> SimConfig:
@@ -65,7 +67,12 @@ def extract_segments_jax(strain: jnp.ndarray,
 
 
 def make_priority_batch(key: jax.Array, cfg: PriorityTrainConfig):
-    """(segments [B,S,3,L], params [B,S,11], mask [B,S], targets [B,S])."""
+    """(segments [B,S,3,L], params [B,S,11], mask [B,S], targets [B,S],
+    raw network SNR [B,S], physics expected SNR of the jittered candidate
+    params [B,S])."""
+    from posteriflow_tpu.physics.psd import default_network_asd
+    from posteriflow_tpu.physics.simulator import signal_snr_amp_only
+
     k_sim, k_jit = jax.random.split(key)
     ev = simulate_batch(k_sim, cfg.batch_size, cfg.sim)
     s = ev.params.shape[1]
@@ -77,10 +84,23 @@ def make_priority_batch(key: jax.Array, cfg: PriorityTrainConfig):
     cand = ev.params * jitter
     segs = jax.vmap(extract_segments_jax)(ev.strain, cand[..., 8])
 
+    # physics expected SNR of each CANDIDATE (what inference can actually
+    # compute from upstream medians): amplitude-only chain on default ASD.
+    # Dead slots carry zero params — clamp masses/distance/spins into the
+    # waveform's validity region before the amplitude chain (same
+    # discipline as physics_features).
+    asd = default_network_asd()
+    safe = jnp.concatenate(
+        [jnp.maximum(cand[..., :3], 1.0), cand[..., 3:9],
+         jnp.clip(cand[..., 9:], -0.99, 0.99)], axis=-1)
+    snr_est = jnp.nan_to_num(jax.vmap(
+        lambda q: signal_snr_amp_only(q, asd))(
+        safe.reshape(-1, safe.shape[-1]))).reshape(cand.shape[:2])
+
     # normalized priority target: per-signal SNR / event max
     tmax = jnp.max(ev.sig_snr, axis=1, keepdims=True)
     targets = ev.sig_snr / jnp.maximum(tmax, 1e-6)
-    return segs, cand, mask, targets
+    return segs, cand, mask, targets, ev.sig_snr, snr_est
 
 
 def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
@@ -92,14 +112,17 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    net = PriorityNet(d_model=cfg.d_model)
+    net = PriorityNet(d_model=cfg.d_model, use_energy=cfg.use_energy,
+                      use_snr_est=cfg.use_snr_est)
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
     # jitted: eager batch synthesis runs the waveform kernel per-primitive
     # on the experimental axon TPU backend (UNIMPLEMENTED ops)
-    segs, cand, mask, targets = jax.jit(
+    segs, cand, mask, targets, _snr, snr_est = jax.jit(
         lambda k: make_priority_batch(k, cfg))(k_init)
-    params = jax.jit(net.init)(k_init, segs, cand, mask)
+    params = jax.jit(lambda k, s, c, m, se: net.init(
+        k, s, c, m, with_aux=True, snr_est=se))(
+        k_init, segs, cand, mask, snr_est)
     # cosine decay to 5% peak: the flat-LR run plateaus by ~3k steps with
     # near-tie pairs still at chance (the [0,0.1) separation bin) — the
     # decayed tail lets the margin loss settle those pairs
@@ -110,11 +133,14 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
 
     @jax.jit
     def step(params, opt_state, key):
-        segs, cand, mask, targets = make_priority_batch(key, cfg)
+        segs, cand, mask, targets, snr, snr_est = make_priority_batch(
+            key, cfg)
 
         def loss_fn(p):
-            scores, sigma = net.apply(p, segs, cand, mask)
-            return ranking_loss(scores, targets, sigma, mask)
+            scores, sigma, aux = net.apply(p, segs, cand, mask,
+                                           with_aux=True, snr_est=snr_est)
+            return ranking_loss(scores, targets, sigma, mask,
+                                aux=aux, snr=snr)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -122,8 +148,9 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
 
     @jax.jit
     def eval_metrics(params, key):
-        segs, cand, mask, targets = make_priority_batch(key, cfg)
-        scores, _ = net.apply(params, segs, cand, mask)
+        segs, cand, mask, targets, _snr, snr_est = make_priority_batch(
+            key, cfg)
+        scores, _ = net.apply(params, segs, cand, mask, snr_est=snr_est)
         # top-1 accuracy on events with >= 2 live candidates
         multi = jnp.sum(mask, axis=1) >= 2
         top_pred = jnp.argmax(jnp.where(mask > 0, scores, -jnp.inf), axis=1)
@@ -148,17 +175,32 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
                      rec["loss"], acc)
 
     (outdir / "priority_params.msgpack").write_bytes(to_bytes(params))
+    (outdir / "net.json").write_text(json.dumps(
+        {"d_model": cfg.d_model, "use_energy": cfg.use_energy,
+         "use_snr_est": cfg.use_snr_est}))
     (outdir / "history.json").write_text(json.dumps(history, indent=2))
     return params, history
 
 
-def load_priority_net(path: str | Path, d_model: int = 64):
+def load_priority_net(path: str | Path, d_model: int = 64,
+                      use_energy: bool = False,
+                      use_snr_est: bool = False):
     """-> (net, params) (reference load_priority_net:
-    priority_net.py:1161)."""
+    priority_net.py:1161). A net.json sidecar beside the msgpack (written
+    by fit_priority since v4) overrides the architecture kwargs, so v2/v3
+    (no energy branch) and v4+ checkpoints both load with defaults."""
     from flax.serialization import from_bytes
-    net = PriorityNet(d_model=d_model)
+    meta = Path(path).parent / "net.json"
+    if meta.exists():
+        m = json.loads(meta.read_text())
+        d_model = m.get("d_model", d_model)
+        use_energy = m.get("use_energy", use_energy)
+        use_snr_est = m.get("use_snr_est", use_snr_est)
+    net = PriorityNet(d_model=d_model, use_energy=use_energy,
+                      use_snr_est=use_snr_est)
     dummy = net.init(jax.random.PRNGKey(0),
                      jnp.zeros((1, 2, 3, SEG_LEN)), jnp.ones((1, 2, 11)),
-                     jnp.ones((1, 2)))
+                     jnp.ones((1, 2)), with_aux=True,
+                     snr_est=jnp.ones((1, 2)))
     params = from_bytes(dummy, Path(path).read_bytes())
     return net, params

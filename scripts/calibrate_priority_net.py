@@ -44,8 +44,9 @@ def main(argv=None):
     scores_all, targets_all = [], []
     for i in range(args.n_batches):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        segs, cand, mask, targets = make_priority_batch(key, cfg)
-        scores, _ = net.apply(params, segs, cand, mask)
+        segs, cand, mask, targets, _snr, snr_est = make_priority_batch(
+            key, cfg)
+        scores, _ = net.apply(params, segs, cand, mask, snr_est=snr_est)
         m = np.asarray(mask) > 0
         scores_all.append(np.asarray(scores)[m])
         targets_all.append(np.asarray(targets)[m])

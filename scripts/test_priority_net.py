@@ -51,7 +51,8 @@ def main(argv=None):
     net, params = load_priority_net(
         Path(args.model) / "priority_params.msgpack")
 
-    fwd = jax.jit(lambda s, c, m: net.apply(params, s, c, m))
+    fwd = jax.jit(lambda s, c, m, se: net.apply(params, s, c, m,
+                                                snr_est=se))
     batch_fn = jax.jit(lambda k: make_priority_batch(k, cfg))
 
     top1 = top1_fb = 0
@@ -62,9 +63,9 @@ def main(argv=None):
     sig_err = []
     cand_sig_err = []
     for i in range(args.n_batches):
-        segs, cand, mask, targets = batch_fn(
+        segs, cand, mask, targets, _snr, snr_est = batch_fn(
             jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
-        scores, sigma = fwd(segs, cand, mask)
+        scores, sigma = fwd(segs, cand, mask, snr_est)
         scores, sigma = np.asarray(scores), np.asarray(sigma)
         mask_np = np.asarray(mask)
         targets = np.asarray(targets)

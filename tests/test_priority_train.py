@@ -20,8 +20,8 @@ CFG = PriorityTrainConfig(batch_size=8, max_signals=3, d_model=32)
 
 
 def test_priority_batch_shapes():
-    segs, cand, mask, targets = make_priority_batch(jax.random.PRNGKey(0),
-                                                    CFG)
+    segs, cand, mask, targets, snr, snr_est = make_priority_batch(
+        jax.random.PRNGKey(0), CFG)
     assert segs.shape == (8, 3, 3, 2048)
     assert cand.shape == (8, 3, 11)
     assert mask.shape == (8, 3) and targets.shape == (8, 3)
@@ -32,6 +32,14 @@ def test_priority_batch_shapes():
     for i in range(8):
         if m[i].sum() >= 1:
             assert t[i][m[i] > 0].max() == pytest.approx(1.0, abs=1e-5)
+    # the physics expected-SNR feature tracks the true injected SNR up to
+    # candidate jitter (it is the same amplitude chain on jittered params)
+    live = np.asarray(m) > 0
+    s_true = np.asarray(snr)[live]
+    s_est = np.asarray(snr_est)[live]
+    assert s_est.shape == s_true.shape and np.isfinite(s_est).all()
+    if live.sum() >= 4:
+        assert np.corrcoef(s_true, s_est)[0, 1] > 0.8
 
 
 def test_fit_priority_learns(tmp_path):
