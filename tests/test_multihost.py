@@ -52,7 +52,15 @@ _CHILD = textwrap.dedent("""
     assert mesh.devices.shape == (8, 1)
     state = jax.jit(lambda k: init_state(k, cfg))(jax.random.PRNGKey(0))
     step = make_train_step(cfg, mesh=mesh)
-    state, m = step(state, jax.random.PRNGKey(1))
+    # AOT-compile, then rendezvous at a generous coordination-service
+    # barrier before executing: on a 1-core host the two children can
+    # finish compiling >30 s apart (persistent-cache asymmetry), and the
+    # Gloo collective-context key-value exchange has a hard 30 s deadline
+    # — executing in lockstep keeps the context setup inside it.
+    compiled = step.lower(state, jax.random.PRNGKey(1)).compile()
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("compiled", 480_000)
+    state, m = compiled(state, jax.random.PRNGKey(1))
     nll = float(m["nll"])
     print(json.dumps({"pid": pid, "nll": nll,
                       "grad_norm": float(m["grad_norm"])}))
