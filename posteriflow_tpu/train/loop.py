@@ -160,6 +160,7 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         rec = {
             "epoch": epoch, "train_nll": train_nll, "select_nll": select,
             "val_nll": val, **real_metrics, "grad_norm": grad_norm,
+            **{k: float(v) for k, v in m.items() if k.startswith("gn_")},
             "lr_step": int(state.step),
             "epoch_seconds": round(time.time() - t0, 1),
             **diag_f,

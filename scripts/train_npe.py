@@ -45,6 +45,9 @@ def main(argv=None):
                     default=None,
                     help="override TrainConfig.grad_clip_mode (the r3 "
                          "grad-norm-growth investigation)")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="override TrainConfig.grad_clip (threshold for "
+                         "global mode / x0.01 factor for agc)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the step over all visible devices")
     ap.add_argument("--prng", default="threefry2x32",
@@ -90,7 +93,9 @@ def main(argv=None):
         **({"batch_size": args.batch} if args.batch else {}),
         **({"lr": args.lr} if args.lr else {}),
         **({"grad_clip_mode": args.grad_clip_mode}
-           if args.grad_clip_mode else {}))
+           if args.grad_clip_mode else {}),
+        **({"grad_clip": args.grad_clip}
+           if args.grad_clip is not None else {}))
 
     bank = None
     if args.noise_bank:
