@@ -37,6 +37,9 @@ def fig_training_curves(outdir, runs):
     plt = _mpl()
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
     for name, hist in runs.items():
+        # step-keyed histories (e.g. long_bns) don't fit the epoch panels
+        if not (hist and isinstance(hist[0], dict) and "epoch" in hist[0]):
+            continue
         ep = [h["epoch"] for h in hist]
         axes[0].plot(ep, [h["val_nll"] for h in hist], label=name)
         axes[1].plot(ep, [h.get("shuffle_delta_nll", 0) for h in hist],
@@ -128,9 +131,12 @@ def fig_anchors(outdir, data):
                                  ("comparison_is_vs_sampler", C_RED,
                                   "IS-corrected")):
             comp = a[key_]
-            med = [comp[p]["median_offset_sigma"] for p in pnames]
-            wr = [comp[p]["width_ratio"] for p in pnames]
-            xs = [xx + 0.08 * (i - off) for xx in x]
+            # phase/geocent_time are absent when the sampler ran on the
+            # marginalized likelihood — plot only the compared params
+            pts = [(j, comp[p]) for j, p in enumerate(pnames) if p in comp]
+            med = [c["median_offset_sigma"] for _, c in pts]
+            wr = [c["width_ratio"] for _, c in pts]
+            xs = [j + 0.08 * (i - off) for j, _ in pts]
             kw = dict(color=color, alpha=0.7, s=18)
             axes[0].scatter(xs, med, label=lbl if i == 0 else None, **kw)
             axes[1].scatter(xs, wr, label=lbl if i == 0 else None, **kw)
@@ -151,6 +157,11 @@ def fig_anchors(outdir, data):
 def fig_bench(outdir, benches):
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(6, 4))
+    # driver BENCH_r*.json wraps the bench line under "parsed"
+    benches = {r: b.get("parsed", b) for r, b in benches.items()
+               if "value" in b.get("parsed", b)}
+    if not benches:
+        return None
     rounds = sorted(benches)
     vals = [benches[r]["value"] for r in rounds]
     ax.semilogy(rounds, vals, "o-", color=C_BLUE)

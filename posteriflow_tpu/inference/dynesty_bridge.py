@@ -111,56 +111,89 @@ def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter):  # pragma: no cover
 
 def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
                      n_prop: int = 64):
-    """Minimal nested sampler with BATCHED proposals. Smoke-grade:
-    validates conventions and provides an offline baseline, not a
-    production sampler.
+    """Self-contained nested sampler with BATCHED live-point-covariance
+    random-walk proposals (dynesty 'rwalk'-style): proposals are drawn
+    around random live points with the empirical covariance of the live
+    set (refreshed periodically) and an acceptance-adapted step scale, so
+    the proposal ellipsoid tracks the shrinking likelihood-constrained
+    region. The r3 anchors showed the previous unit-cube-jitter proposal
+    stalls hundreds of sigma off on real GW posteriors.
 
-    TPU-shaped: each iteration evaluates all `n_prop` jittered proposals
-    in ONE fixed-shape likelihood call and accepts the FIRST that clears
-    the threshold — statistically identical to the textbook sequential
-    retry loop, but one device dispatch instead of up to n_prop (through
-    the tunneled chip, per-call dispatch would dominate the wall time)."""
+    TPU-shaped: each iteration evaluates all `n_prop` proposals in ONE
+    fixed-shape likelihood call and accepts the FIRST that clears the
+    threshold — statistically identical to the textbook sequential retry
+    loop, but one device dispatch instead of up to n_prop (through the
+    tunneled chip, per-call dispatch would dominate the wall time)."""
     rng = np.random.default_rng(seed)
-    u = rng.uniform(size=(nlive, len(PARAM_NAMES)))
+    ndim = len(PARAM_NAMES)
+    u = rng.uniform(size=(nlive, ndim))
     theta = prior_transform(u)
-    ll = np.asarray(log_l(theta.astype(np.float32)))
+    # np.array (copy): np.asarray of a jax.Array is a READ-ONLY view and
+    # the live-point update below assigns in place
+    ll = np.array(log_l(theta.astype(np.float32)))
     dead_theta, dead_ll, logvol = [], [], []
     vol = 0.0
     n_calls = nlive
+    scale = 1.0
+    chol = np.eye(ndim)
     for it in range(maxiter):
         i_min = int(np.argmin(ll))
         dead_theta.append(theta[i_min].copy())
         dead_ll.append(float(ll[i_min]))
         vol -= 1.0 / nlive
         logvol.append(vol)
-        # propose from random live points + shrinking unit-cube jitter;
-        # one batched call, first-acceptance semantics
+        if it % 128 == 0:       # refresh the live-set covariance factor
+            cov = np.cov(u.T) + 1e-12 * np.eye(ndim)
+            try:
+                chol = np.linalg.cholesky(cov)
+            except np.linalg.LinAlgError:
+                chol = np.diag(np.sqrt(np.diag(cov)))
+        # walk from random live points with live-cov steps; one batched
+        # call, first-acceptance semantics
         j = rng.integers(nlive, size=n_prop)
-        u_new = np.clip(u[j] + 0.1 * np.exp(vol / 2)
-                        * rng.standard_normal((n_prop, u.shape[1])),
-                        1e-9, 1 - 1e-9)
+        step = rng.standard_normal((n_prop, ndim)) @ chol.T
+        u_new = u[j] + scale * step
+        # reflect into (0,1): preserves detailed balance on the cube
+        u_new = np.abs(u_new) % 2.0
+        u_new = np.where(u_new > 1.0, 2.0 - u_new, u_new)
+        u_new = np.clip(u_new, 1e-9, 1 - 1e-9)
         t_new = prior_transform(u_new)
-        ll_new = np.asarray(log_l(t_new.astype(np.float32)))
+        ll_new = np.array(log_l(t_new.astype(np.float32)))
         n_calls += n_prop
         ok = np.flatnonzero(ll_new > ll[i_min])
         if ok.size:
             k = int(ok[0])
             u[i_min], theta[i_min], ll[i_min] = u_new[k], t_new[k], ll_new[k]
+        else:
+            # no acceptance in the whole batch: replace from a random
+            # surviving live point so the dead point doesn't linger
+            k = int(rng.integers(nlive))
+            u[i_min], theta[i_min], ll[i_min] = u[k], theta[k], ll[k]
+        # adapt the step scale toward ~25% per-proposal acceptance
+        acc = ok.size / n_prop
+        scale = float(np.clip(scale * np.exp(0.3 * (acc - 0.25)),
+                              1e-4, 10.0))
         # convergence: remaining live evidence below dlogz
         if it > nlive and (ll.max() + vol) < (max(dead_ll) - dlogz):
             break
-    dead_ll = np.asarray(dead_ll)
-    logvol = np.asarray(logvol)
+    # terminal live points: each carries volume e^{vol}/nlive (the
+    # standard NS finalization; omitting them biases logz low by up to
+    # the remaining live evidence)
+    dead_theta = np.concatenate([np.asarray(dead_theta), theta], axis=0)
+    dead_ll = np.concatenate([np.asarray(dead_ll), ll])
+    logvol = np.concatenate([np.asarray(logvol),
+                             np.full(nlive, vol - np.log(nlive))])
     logwt = dead_ll + logvol
     w = np.exp(logwt - logwt.max())
-    return {"samples": np.asarray(dead_theta), "weights": w / w.sum(),
+    return {"samples": dead_theta, "weights": w / w.sum(),
             "logz": float(np.log(np.sum(w)) + logwt.max()),
             "sampler": "fallback-nested", "n_like_calls": n_calls}
 
 
 def run_comparison(engine, prepared, n_samples: int = 2000,
                    nlive: int = 300, seed: int = 0,
-                   maxiter: int = 5000, importance: bool = False) -> Dict:
+                   maxiter: int = 5000, importance: bool = False,
+                   marginalized_sampler: bool = True) -> Dict:
     """NPE vs nested sampling on identical data (reference run_comparison:
     dynesty_bridge.py:116). Returns both posteriors + per-parameter
     comparison metrics + wall times. importance=True additionally compares
@@ -178,7 +211,16 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
     npe = infer(engine, data=prepared, n_samples=n_samples, seed=seed)
     t_npe = time.perf_counter() - t0
 
-    log_l = make_log_likelihood(prepared.strain)
+    if marginalized_sampler:
+        # the sampler runs on the SAME phase/time-marginalized Whittle
+        # likelihood IS uses: the full likelihood's ms-scale t_c fringes
+        # are unexplorable for any random-walk sampler at smoke nlive,
+        # and the anchor scores the 9 non-marginalized parameters anyway
+        from posteriflow_tpu.inference.importance import \
+            make_marginalized_log_likelihood
+        log_l = make_marginalized_log_likelihood(prepared.strain)
+    else:
+        log_l = make_log_likelihood(prepared.strain)
     t0 = time.perf_counter()
     ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter)
     t_ns = time.perf_counter() - t0
@@ -188,6 +230,9 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
         p=ns["weights"])
     ns_samp = ns["samples"][idx]
     comp = ComparisonMetrics().compare_posteriors(npe.samples, ns_samp)
+    if marginalized_sampler:    # those dims are prior draws in ns_samp
+        comp.pop("phase", None)
+        comp.pop("geocent_time", None)
     out = {"npe": npe, "nested": ns, "comparison": comp,
            "t_npe_s": t_npe, "t_nested_s": t_ns,
            "speedup": t_ns / max(t_npe, 1e-9)}
@@ -213,6 +258,9 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
             p=is_res.weights / is_res.weights.sum())
         out["is_comparison"] = ComparisonMetrics().compare_posteriors(
             is_res.samples[k], ns_samp)
+        if marginalized_sampler:
+            out["is_comparison"].pop("phase", None)
+            out["is_comparison"].pop("geocent_time", None)
         out["is"] = {"ess": float(is_res.ess),
                      "efficiency": float(is_res.efficiency),
                      "n_stages": int(is_res.n_stages),

@@ -29,8 +29,11 @@ def quiet_dependency_logs():
 
 def setup_logging(level: int = logging.INFO,
                   quiet_deps: bool = True) -> logging.Logger:
+    # force=True: the axon platform plugin configures the root logger at
+    # interpreter start, which would make a plain basicConfig a silent
+    # no-op (root stays at WARNING and every INFO line is dropped)
     logging.basicConfig(
-        level=level,
+        level=level, force=True,
         format="%(asctime)s %(levelname)s %(name)s %(message)s")
     if quiet_deps:
         quiet_dependency_logs()

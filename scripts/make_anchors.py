@@ -44,7 +44,7 @@ def main(argv=None):
     ap.add_argument("--name", default="best")
     ap.add_argument("--n-samples", type=int, default=3000)
     ap.add_argument("--nlive", type=int, default=400)
-    ap.add_argument("--maxiter", type=int, default=8000)
+    ap.add_argument("--maxiter", type=int, default=12000)
     ap.add_argument("--only", help="comma list of anchor names")
     ap.add_argument("--out", default="analysis/anchors.json")
     args = ap.parse_args(argv)
@@ -86,6 +86,7 @@ def main(argv=None):
                              importance=True)
         entry = {
             "injected": params,
+            "sampler_marginalized": True,
             "comparison_npe_vs_sampler": cmp["comparison"],
             "comparison_is_vs_sampler": cmp["is_comparison"],
             "is": cmp["is"],
