@@ -82,6 +82,26 @@ class PerformanceMetrics:
                 "accuracy_score": score, "grade": grade,
                 "n_runs": len(self.records)}
 
+    @classmethod
+    def scalability(cls, sizes: Sequence[float],
+                    throughputs: Sequence[float]) -> Dict:
+        """Scaling-efficiency grade from a (problem size, throughput)
+        curve (reference PerformanceMetrics scalability grading,
+        metrics.py:352+): efficiency = measured throughput at the largest
+        size / throughput at the smallest size (ideal strong scaling for
+        a per-item rate is a FLAT curve; falling = super-linear cost)."""
+        s = np.asarray(sizes, dtype=np.float64)
+        thr = np.asarray(throughputs, dtype=np.float64)
+        order = np.argsort(s)
+        s, thr = s[order], thr[order]
+        eff = float(thr[-1] / max(thr[0], 1e-12))
+        score = float(np.clip(eff, 0.0, 1.0))
+        grade = next(g for thresh, g in cls.GRADES if score >= thresh)
+        return {"sizes": s.tolist(), "throughputs": thr.tolist(),
+                "scaling_efficiency": eff, "grade": grade,
+                "peak_throughput": float(thr.max()),
+                "best_size": float(s[int(np.argmax(thr))])}
+
 
 class RecoveryMetrics:
     """Multi-criteria matching of recovered signals to injections ->
@@ -153,5 +173,42 @@ class ComparisonMetrics:
                     (np.quantile(a, 0.95) - np.quantile(a, 0.05))
                     / max(np.quantile(b, 0.95) - np.quantile(b, 0.05),
                           1e-12)),
+                "js_divergence": self._js_hist(a, b),
             }
         return out
+
+    @staticmethod
+    def _js_hist(a: np.ndarray, b: np.ndarray, bins: int = 64) -> float:
+        """Histogram Jensen-Shannon divergence (nats) on the union
+        support — robust to multimodality where the Gaussian-approx KL
+        is blind."""
+        lo = min(a.min(), b.min())
+        hi = max(a.max(), b.max())
+        if not np.isfinite(lo) or hi <= lo:
+            return 0.0
+        pa, _ = np.histogram(a, bins=bins, range=(lo, hi), density=False)
+        pb, _ = np.histogram(b, bins=bins, range=(lo, hi), density=False)
+        pa = pa / max(pa.sum(), 1)
+        pb = pb / max(pb.sum(), 1)
+        m = 0.5 * (pa + pb)
+        def _kl(p, q):
+            mask = p > 0
+            return float(np.sum(p[mask] * np.log(p[mask] / q[mask])))
+        return 0.5 * _kl(pa, m) + 0.5 * _kl(pb, m)
+
+    @staticmethod
+    def summarize(comparison: Dict) -> Dict:
+        """Aggregate a compare_posteriors dict across parameters: the
+        headline numbers benchmark_real_events reports per event."""
+        if not comparison:
+            return {}
+        offs = [abs(c["median_offset_sigma"]) for c in comparison.values()]
+        return {
+            "mean_abs_offset_sigma": float(np.mean(offs)),
+            "max_abs_offset_sigma": float(np.max(offs)),
+            "mean_js": float(np.mean([c["js_divergence"]
+                                      for c in comparison.values()])),
+            "mean_width_ratio": float(np.mean(
+                [c["width_ratio"] for c in comparison.values()])),
+            "n_params": len(comparison),
+        }

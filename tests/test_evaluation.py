@@ -268,3 +268,34 @@ def test_bias_corrector_trains_and_corrects():
     c_in = np.corrcoef(samples[:, 0], samples[:, 1])[0, 1]
     c_out = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
     assert abs(c_in - c_out) < 0.25, (c_in, c_out)
+
+
+def test_js_divergence_and_summarize():
+    """JS: 0 for identical samples, larger for separated ones, bounded by
+    log 2; summarize aggregates the per-param dict."""
+    import numpy as np
+
+    from posteriflow_tpu.evaluation.metrics import ComparisonMetrics
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (4000, 11))
+    b = rng.normal(0, 1, (4000, 11))
+    c = ComparisonMetrics().compare_posteriors(a, b)
+    js_same = [v["js_divergence"] for v in c.values()]
+    assert max(js_same) < 0.02, max(js_same)
+    b2 = b + 5.0
+    c2 = ComparisonMetrics().compare_posteriors(a, b2)
+    js_far = [v["js_divergence"] for v in c2.values()]
+    assert min(js_far) > 0.5 and max(js_far) <= np.log(2) + 1e-9
+    s = ComparisonMetrics.summarize(c2)
+    assert s["n_params"] == 11 and s["mean_abs_offset_sigma"] > 3.0
+
+
+def test_scalability_grading():
+    from posteriflow_tpu.evaluation.metrics import PerformanceMetrics
+    flat = PerformanceMetrics.scalability([64, 128, 256],
+                                          [9000, 9100, 9050])
+    assert flat["grade"] == "A" and flat["scaling_efficiency"] > 0.9
+    falling = PerformanceMetrics.scalability([64, 128, 256],
+                                             [9000, 7000, 4000])
+    assert falling["grade"] in ("D", "F")
+    assert falling["best_size"] == 64.0
