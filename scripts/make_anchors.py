@@ -84,9 +84,13 @@ def main(argv=None):
         cmp = run_comparison(engine, prepared, n_samples=args.n_samples,
                              nlive=args.nlive, maxiter=args.maxiter,
                              importance=True)
+        from posteriflow_tpu.evaluation.metrics import ComparisonMetrics
         entry = {
             "injected": params,
             "sampler_marginalized": True,
+            "summary_npe": ComparisonMetrics.summarize(cmp["comparison"]),
+            "summary_is": ComparisonMetrics.summarize(
+                cmp["is_comparison"]),
             "comparison_npe_vs_sampler": cmp["comparison"],
             "comparison_is_vs_sampler": cmp["is_comparison"],
             "is": cmp["is"],
