@@ -17,6 +17,8 @@ from posteriflow_tpu.physics.waveforms.phenomd import (phenomd_amp_phase,
 from posteriflow_tpu.physics.waveforms.taylorf2 import (isco_frequency,
                                                         taylorf2_amp_phase,
                                                         taylorf2_polarizations)
+from posteriflow_tpu.physics.waveforms.precession import (
+    phenomp_polarizations, precession_angles, twist_factors)
 from posteriflow_tpu.physics.waveforms.tidal import (
     lambda_from_mass, matter_effects, phenomd_matter_polarizations,
     tidal_phase)
@@ -32,6 +34,11 @@ APPROXIMANTS = {
     "TaylorF2": taylorf2_polarizations,
     "IMRPhenomD": phenomd_polarizations,
     "IMRPhenomD_Matter": phenomd_matter_polarizations,   # production
+    # precessing twist-up; the standard-signature entry runs chi_p = 0
+    # (the reference's actual behavior — it names IMRPhenomXP but zeroes
+    # every tilt, bilby_pipeline.py:63-65). Precessing injections call
+    # precession.phenomp_polarizations with chi_p > 0 explicitly.
+    "IMRPhenomP_Matter": phenomp_polarizations,
     "IMRPhenomJ": imr_stitch_polarizations,   # round-1 stitch (baseline)
 }
 
@@ -39,4 +46,5 @@ __all__ = ["APPROXIMANTS", "taylorf2_polarizations", "taylorf2_amp_phase",
            "isco_frequency", "imr_polarizations", "phenomd_polarizations",
            "phenomd_amp_phase", "phenomd_matter_polarizations",
            "matter_effects", "tidal_phase", "lambda_from_mass",
+           "phenomp_polarizations", "precession_angles", "twist_factors",
            "imr_stitch_polarizations", "final_state", "qnm_frequency"]
