@@ -64,8 +64,7 @@ def make_log_likelihood(strain_white_td: np.ndarray,
     else:
         res_ri = np.zeros((2, n_det, n_td // 2 + 1), dtype=np.float32)
 
-    @jax.jit
-    def _log_l(theta_batch, strain_td, res):
+    def _core(theta_batch, strain_td, res):
         d_w = data_white_fd(strain_td) - (res[0] + 1j * res[1])
 
         def one(theta):
@@ -74,9 +73,17 @@ def make_log_likelihood(strain_white_td: np.ndarray,
             return match - 0.5 * jnp.sum(jnp.abs(h_w) ** 2)
         return jax.vmap(one)(theta_batch)
 
+    _log_l = jax.jit(_core)
+
     def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
         return _log_l(theta_batch, strain, res_ri)
 
+    # expose the unjitted core + its device arguments so importance_correct
+    # can FUSE the whole SMC rejuvenation sweep (likelihood + prior + flow
+    # density + Metropolis, all n_mcmc steps) into one device program
+    log_l.core = _core
+    log_l.device_args = (strain, res_ri)
+    log_l.is_marginalized = False
     return log_l
 
 
@@ -121,8 +128,7 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
     _in_window = jnp.asarray((_t_of_j >= _T_OFF_LO) & (_t_of_j <= _T_OFF_HI))
     _n_window = float(np.sum((_t_of_j >= _T_OFF_LO) & (_t_of_j <= _T_OFF_HI)))
 
-    @jax.jit
-    def _log_l(theta_batch, strain_td, res):
+    def _core(theta_batch, strain_td, res):
         d_w = data_white_fd(strain_td) - (res[0] + 1j * res[1])
 
         def one(theta):
@@ -139,9 +145,14 @@ def make_marginalized_log_likelihood(strain_white_td: np.ndarray,
             return log_mean - 0.5 * jnp.sum(jnp.abs(h_w) ** 2)
         return jax.vmap(one)(theta_batch)
 
+    _log_l = jax.jit(_core)
+
     def log_l(theta_batch: jnp.ndarray) -> jnp.ndarray:
         return _log_l(theta_batch, strain, res_ri)
 
+    log_l.core = _core
+    log_l.device_args = (strain, res_ri)
+    log_l.is_marginalized = True
     return log_l
 
 
@@ -229,6 +240,9 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
     """
     if log_prior_fn is None:
         log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
+    # capture the fused-dispatch hooks before the padding wrapper hides them
+    ll_core = getattr(log_l_fn, "core", None)
+    ll_device_args = getattr(log_l_fn, "device_args", None)
     # fixed-shape evaluation: every distinct batch size would otherwise
     # compile a fresh 4096-waveform likelihood program (minutes each on
     # the tunneled chip); pad to one canonical size and slice
@@ -260,8 +274,11 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
         #   q11 = [q_joint·2π/KDE]·(1/2π)(1/Δt) = q_joint/(KDE·Δt).
         # (The previous +log 2π form left every marginalized logZ low by
         # exactly log(2π·Δt) ≈ 2.94 nats.)
-        lq = lq - np.log(np.maximum(kde_tc(tc), 1e-300)) \
-            - np.log(_T_OFF_HI - _T_OFF_LO)
+        lg0_corr = (-np.log(np.maximum(kde_tc(tc), 1e-300))
+                    - np.log(_T_OFF_HI - _T_OFF_LO))
+        lq = lq + lg0_corr
+    else:
+        lg0_corr = np.zeros(len(theta))
 
     log_w = ll + lp - lq
     log_w = np.where(np.isfinite(log_w), log_w, -np.inf)
@@ -281,11 +298,36 @@ def importance_correct(engine, context: jnp.ndarray, rank: int,
                 - np.log(_T_OFF_HI - _T_OFF_LO)
         return out
 
-    return _tempered_is(np.asarray(theta, np.float64), lq.astype(np.float64),
-                        ll.astype(np.float64), lp.astype(np.float64),
+    theta_np = np.asarray(theta, np.float64)
+    lq64, ll64, lp64 = (lq.astype(np.float64), ll.astype(np.float64),
+                        lp.astype(np.float64))
+    lg0_corr = np.asarray(lg0_corr, np.float64)
+
+    move_fn = None
+    if ll_core is not None and ll_device_args is not None:
+        # fused device rejuvenation needs ONE static cloud size (every
+        # distinct n compiles a fresh program through the tunnel):
+        # bootstrap the equal-weight entry cloud to exactly pad_block
+        n0 = len(theta_np)
+        if n0 != pad_block:
+            rng0 = np.random.default_rng(seed + 1)
+            if n0 > pad_block:
+                idx0 = rng0.choice(n0, pad_block, replace=False)
+            else:
+                idx0 = np.concatenate([
+                    np.arange(n0),
+                    rng0.integers(0, n0, pad_block - n0)])
+            theta_np, lq64, ll64, lp64, lg0_corr = (
+                theta_np[idx0], lq64[idx0], ll64[idx0], lp64[idx0],
+                lg0_corr[idx0])
+        move_fn = _make_fused_move(engine, context, rank, ll_core,
+                                   ll_device_args, marg=marginalized)
+
+    return _tempered_is(theta_np, lq64, ll64, lp64,
                         log_l_fn, log_prior_fn, log_g0_fn=log_g0_fn,
                         ladder_target_frac=ladder_target_frac,
                         max_stages=max_stages, marginalized=marginalized,
+                        move_fn=move_fn, lg0_corr=lg0_corr,
                         seed=seed)
 
 
@@ -294,6 +336,7 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
                  log_g0_fn: Callable = None,
                  ladder_target_frac: float = 0.5, max_stages: int = 25,
                  n_mcmc: int = 3, marginalized: bool = False,
+                 move_fn: Callable = None, lg0_corr: np.ndarray = None,
                  seed: int = 0) -> ISResult:
     """Tempered SMC sampler (the importance_correct fallback; separable for
     direct testing against a synthetic likelihood).
@@ -325,12 +368,18 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
     log_g0_fn(θ [N,11]) -> [N]: anchor density at NEW points (the MCMC
     proposals). Defaults to log_prior_fn — correct for the synthetic tests,
     which pass lq = log prior.
+
+    move_fn, when given (built by _make_fused_move), replaces the host-side
+    rejuvenation loop with ONE device dispatch per stage; lg0_corr is the
+    per-particle constant it needs to stay in the host density convention.
     """
     from scipy.special import logsumexp as _lse
     rng = np.random.default_rng(seed)
     n = theta.shape[0]
     cur = theta.copy()
     cur_ll, cur_lp, cur_lg0 = ll.copy(), lp.copy(), lq.copy()
+    cur_corr = (np.zeros(n) if lg0_corr is None
+                else np.asarray(lg0_corr, np.float64))
     if log_g0_fn is None:
         log_g0_fn = log_prior_fn
     target = max(min(ladder_target_frac, 0.9), 0.05)
@@ -341,6 +390,13 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
     ladder = []
     converged = False
     acc_hist = []
+    # between-stage Robbins-Monro proposal-scale adaptation: the 2.38/√d
+    # optimal-RW factor assumes a Gaussian target; on razor-Mc posteriors
+    # the measured acceptance at that scale is ~0.03-0.08, so each stage
+    # multiplies the NEXT stage's step by exp(acc − 0.234) (clipped) —
+    # adaptation across stages keeps every within-stage kernel exactly
+    # π_β-invariant (the scale is fixed before the sweep starts)
+    rw_scale = 1.0
 
     def _ess_frac(lw):
         w = _norm_w(lw)
@@ -373,11 +429,18 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
         if beta >= 1.0 - 1e-9:
             converged = True
             break
+        if _stage == max_stages - 1:
+            # out of stages: exit with the WEIGHTED cloud at this β — a
+            # final rejuvenation would be discarded-weight work and would
+            # return a flat-weight cloud that hides the non-convergence
+            # (ADVICE r2: keep samples and weights mutually consistent)
+            break
 
         # resample + move (rejuvenate the cloud at π_β)
         idx = _systematic_resample(_norm_w(log_W), rng)
         cur, cur_ll, cur_lp, cur_lg0 = (cur[idx], cur_ll[idx], cur_lp[idx],
                                         cur_lg0[idx])
+        cur_corr = cur_corr[idx]
         log_W = np.full(n, -np.log(n))
         x = _to_slow(cur, marg=marginalized)
         d_x = x.shape[1]
@@ -387,6 +450,15 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
             chol = np.linalg.cholesky((2.38 ** 2 / d_x) * cov)
         except np.linalg.LinAlgError:
             chol = np.diag(np.maximum(x.std(0), 1e-6)) * (2.38 / d_x ** 0.5)
+        chol = rw_scale * chol
+        if move_fn is not None:
+            cur, cur_ll, cur_lp, cur_lg0, acc_frac = move_fn(
+                cur, cur_ll, cur_lp, cur_lg0, cur_corr, beta, chol,
+                int(rng.integers(2 ** 31 - 1)))
+            acc_hist.append(round(acc_frac, 3))
+            rw_scale = float(np.clip(rw_scale * np.exp(acc_frac - 0.234),
+                                     0.05, 3.0))
+            continue
         # x-space Jacobian of the current cloud (target_x = target_θ·m1m2d)
         jac = np.sum(np.log(np.maximum(cur[:, :3], 1e-10)), axis=1)
         log_tgt = (beta * (cur_ll + cur_lp) + (1.0 - beta) * cur_lg0 + jac)
@@ -412,6 +484,8 @@ def _tempered_is(theta: np.ndarray, lq: np.ndarray, ll: np.ndarray,
             cur_lg0 = np.where(accept, lg0p, cur_lg0)
             log_tgt = np.where(accept, log_tgt_p, log_tgt)
         acc_hist.append(round(acc_frac, 3))
+        rw_scale = float(np.clip(rw_scale * np.exp(acc_frac - 0.234),
+                                 0.05, 3.0))
 
     final = _finalize(cur.astype(np.float32), log_W)
     final.n_stages = len(ladder)
@@ -505,6 +579,109 @@ def _reassemble(x: np.ndarray, cur: np.ndarray,
     th[:, 2] = np.exp(x[:, 2])
     th[:, _SLOW_COLS_M[3:]] = x[:, 3:]
     return th
+
+
+def _to_slow_jnp(theta: jnp.ndarray, marg: bool) -> jnp.ndarray:
+    """jnp twin of _to_slow (device-side SMC moves)."""
+    t = theta[:, _SLOW_COLS_M] if marg else theta
+    m1 = jnp.maximum(t[:, 0], 1e-10)
+    m2 = jnp.maximum(t[:, 1], 1e-10)
+    lmc = 0.6 * jnp.log(m1 * m2) - 0.2 * jnp.log(m1 + m2)
+    lq = jnp.log(m2 / m1)
+    ld = jnp.log(jnp.maximum(t[:, 2], 1e-10))
+    return jnp.concatenate([jnp.stack([lmc, lq, ld], axis=1), t[:, 3:]],
+                           axis=1)
+
+
+def _reassemble_jnp(x: jnp.ndarray, cur: jnp.ndarray,
+                    marg: bool) -> jnp.ndarray:
+    """jnp twin of _reassemble."""
+    q = jnp.exp(x[:, 1])
+    mtot = jnp.exp(x[:, 0]) * q ** (-0.6) * (1.0 + q) ** 1.2
+    m1 = mtot / (1.0 + q)
+    m2 = q * m1
+    d = jnp.exp(x[:, 2])
+    if not marg:
+        return jnp.concatenate([jnp.stack([m1, m2, d], axis=1), x[:, 3:]],
+                               axis=1)
+    th = cur.at[:, 0].set(m1).at[:, 1].set(m2).at[:, 2].set(d)
+    return th.at[:, _SLOW_COLS_M[3:]].set(x[:, 3:])
+
+
+def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
+                     ll_device_args, marg: bool, n_mcmc: int = 5):
+    """ONE jitted program for a full SMC rejuvenation sweep: lax.scan over
+    n_mcmc random-walk Metropolis steps, each evaluating likelihood + prior
+    + symmetrized flow density on-device. Replaces ~3·n_mcmc separate
+    device dispatches per stage (the round-3 battery spent most of its
+    56–105 s/event wall in tunnel round-trips between them).
+
+    `corr` carries the per-particle marginalized-proposal correction
+    (−log KDE(t_c) − log Δt): in marginalized mode the walk never moves
+    t_c, so the correction is constant along the sweep and the device can
+    keep every density in the host's 11-D-proper convention by adding it
+    to the raw flow density.
+    """
+    model, scaler, params = engine.model, engine.scaler, engine.params
+
+    def _lg0_raw(thp, ctx):
+        ctx_b = jnp.broadcast_to(ctx, (thp.shape[0], ctx.shape[-1]))
+        r_b = jnp.full((thp.shape[0],), rank, dtype=jnp.int32)
+
+        def side(t):
+            nll = model.apply(params, ctx_b, t, r_b,
+                              method=type(model).nll_from_context)
+            return -nll + scaler.log_abs_det_jacobian(t)
+        sw = thp.at[:, 0].set(thp[:, 1]).at[:, 1].set(thp[:, 0])
+        return jax.scipy.special.logsumexp(
+            jnp.stack([side(thp), side(sw)]), axis=0)
+
+    @jax.jit
+    def _move(cur, ll, lp, lg0, corr, beta, chol, key, ctx, *ll_dev):
+        x = _to_slow_jnp(cur, marg)
+        jac = jnp.sum(jnp.log(jnp.maximum(cur[:, :3], 1e-10)), axis=1)
+        log_tgt = beta * (ll + lp) + (1.0 - beta) * lg0 + jac
+
+        def step(carry, k):
+            cur, x, ll, lp, lg0, log_tgt, acc_sum = carry
+            k1, k2 = jax.random.split(k)
+            xp = x + jax.random.normal(k1, x.shape) @ chol.T
+            thp = _reassemble_jnp(xp, cur, marg)
+            llp = ll_core(thp, *ll_dev)
+            lpp = jax.vmap(log_prior_bbh)(thp)
+            lg0p = _lg0_raw(thp, ctx) + corr
+            jacp = jnp.sum(jnp.log(jnp.maximum(thp[:, :3], 1e-10)), axis=1)
+            ltp = beta * (llp + lpp) + (1.0 - beta) * lg0p + jacp
+            # reflecting m1 >= m2 fold: log q > 0 would unfold
+            ltp = jnp.where(xp[:, 1] <= 0.0, ltp, -jnp.inf)
+            ltp = jnp.where(jnp.isfinite(ltp), ltp, -jnp.inf)
+            acc = (jnp.log(jax.random.uniform(k2, (cur.shape[0],)))
+                   < ltp - log_tgt)
+            return ((jnp.where(acc[:, None], thp, cur),
+                     jnp.where(acc[:, None], xp, x),
+                     jnp.where(acc, llp, ll), jnp.where(acc, lpp, lp),
+                     jnp.where(acc, lg0p, lg0),
+                     jnp.where(acc, ltp, log_tgt),
+                     acc_sum + jnp.mean(acc)), None)
+
+        keys = jax.random.split(key, n_mcmc)
+        init = (cur, x, ll, lp, lg0, log_tgt, jnp.float32(0.0))
+        (cur, x, ll, lp, lg0, log_tgt, acc_sum), _ = jax.lax.scan(
+            step, init, keys)
+        return cur, ll, lp, lg0, acc_sum / n_mcmc
+
+    def move_fn(cur, ll, lp, lg0, corr, beta, chol, seed):
+        out = _move(jnp.asarray(cur, jnp.float32),
+                    jnp.asarray(ll, jnp.float32),
+                    jnp.asarray(lp, jnp.float32),
+                    jnp.asarray(lg0, jnp.float32),
+                    jnp.asarray(corr, jnp.float32),
+                    jnp.float32(beta), jnp.asarray(chol, jnp.float32),
+                    jax.random.PRNGKey(seed), context, *ll_device_args)
+        cur, ll, lp, lg0 = (np.asarray(o, np.float64) for o in out[:4])
+        return cur, ll, lp, lg0, float(out[4])
+
+    return move_fn
 
 
 def _norm_w(log_w: np.ndarray) -> np.ndarray:
