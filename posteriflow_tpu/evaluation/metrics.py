@@ -44,12 +44,41 @@ class BiasMetrics:
                     np.abs(e) / np.maximum(np.abs(tru[:, j]), 1e-9))),
                 "bias_significance_z": float(z),
                 "significant": bool(abs(z) > 3.0),
+                "skewness": self._skewness(e),
+                "kurtosis_excess": self._kurtosis(e),
             }
             if stds is not None:
                 rec["normalized_bias"] = float(
                     np.mean(e / np.maximum(stds[:, j], 1e-12)))
             out[name] = rec
         return out
+
+    @staticmethod
+    def _skewness(e: np.ndarray) -> float:
+        s = e.std()
+        return float(np.mean(((e - e.mean()) / max(s, 1e-30)) ** 3))
+
+    @staticmethod
+    def _kurtosis(e: np.ndarray) -> float:
+        s = e.std()
+        return float(np.mean(((e - e.mean()) / max(s, 1e-30)) ** 4) - 3.0)
+
+    @staticmethod
+    def overall(param_biases: Dict) -> Dict:
+        """Cross-parameter roll-up (reference BiasMetrics
+        _compute_overall_bias_metrics, metrics.py:265): worst offenders +
+        the count of statistically significant biases."""
+        if not param_biases:
+            return {}
+        sig = [k for k, v in param_biases.items() if v["significant"]]
+        z = {k: abs(v["bias_significance_z"]) for k, v in
+             param_biases.items()}
+        worst = max(z, key=z.get)
+        return {"n_significant": len(sig), "significant_params": sig,
+                "worst_param": worst, "worst_z": z[worst],
+                "mean_abs_z": float(np.mean(list(z.values()))),
+                "mean_frac_err_median": float(np.mean(
+                    [v["frac_err_median"] for v in param_biases.values()]))}
 
 
 class PerformanceMetrics:
@@ -147,6 +176,120 @@ class RecoveryMetrics:
                 "n_injected": len(inj), "precision": precision,
                 "recall": recall, "f1": f1}
 
+    # Soft multi-criteria matching (reference RecoveryMetrics
+    # _compute_signal_match_score, metrics.py:751-949): weighted Gaussian
+    # component scores — mass 0.4, merger time 0.3, sky 0.2, distance 0.1.
+    W_MASS, W_TIME, W_SKY, W_DIST = 0.4, 0.3, 0.2, 0.1
+
+    @classmethod
+    def match_score(cls, est: np.ndarray, truth: np.ndarray,
+                    est_std: Optional[np.ndarray] = None) -> Dict:
+        """Soft [0,1] match quality between one recovered parameter vector
+        and one injection (param order = PARAM_NAMES). est_std: posterior
+        widths for σ-normalized mass errors (reference uses 10%/5% floors
+        when absent, metrics.py:797-839)."""
+        est = np.asarray(est, np.float64)
+        tru = np.asarray(truth, np.float64)
+        sd = (np.asarray(est_std, np.float64) if est_std is not None
+              else np.abs(est) * 0.1)
+        # masses: Gaussian in std-normalized error (floor 5% of truth)
+        z1 = abs(est[0] - tru[0]) / max(sd[0], 0.05 * tru[0])
+        z2 = abs(est[1] - tru[1]) / max(sd[1], 0.05 * tru[1])
+        s_mass = float(np.exp(-0.5 * z1 ** 2) * np.exp(-0.5 * z2 ** 2))
+        # merger time: threshold max(3σ_t, 10 ms)
+        sd_t = sd[8] if est_std is not None else 0.01
+        thr_t = max(3.0 * sd_t, 0.010)
+        s_time = float(np.exp(-((est[8] - tru[8]) / thr_t) ** 2))
+        # sky: great-circle separation, 0.5 rad scale
+        sep = cls._angular_separation(est[3], est[4], tru[3], tru[4])
+        s_sky = float(np.exp(-(sep / 0.5) ** 2))
+        # distance: log-space, 0.2 dex floor
+        sd_ld = (sd[2] / max(est[2], 1e-9)) if est_std is not None else 0.2
+        zd = abs(np.log(max(est[2], 1e-9) / max(tru[2], 1e-9))) \
+            / max(sd_ld, 0.2)
+        s_dist = float(np.exp(-0.5 * zd ** 2))
+        total = (cls.W_MASS * s_mass + cls.W_TIME * s_time
+                 + cls.W_SKY * s_sky + cls.W_DIST * s_dist)
+        return {"score": float(total), "mass": s_mass, "time": s_time,
+                "sky": s_sky, "distance": s_dist}
+
+    @staticmethod
+    def _angular_separation(ra1, dec1, ra2, dec2) -> float:
+        """Great-circle separation in radians (reference
+        _compute_sky_match_score, metrics.py:869)."""
+        c = (np.sin(dec1) * np.sin(dec2)
+             + np.cos(dec1) * np.cos(dec2) * np.cos(ra1 - ra2))
+        return float(np.arccos(np.clip(c, -1.0, 1.0)))
+
+    def match_soft(self, recovered: np.ndarray, injected: np.ndarray,
+                   rec_stds: Optional[np.ndarray] = None,
+                   min_score: float = 0.3) -> Dict:
+        """Greedy soft matching: every (recovered, injected) pair is
+        scored with match_score; pairs are claimed best-score-first above
+        min_score. Returns precision/recall/F1 plus per-match quality —
+        the reference's match + _analyze_recovery_quality combined
+        (metrics.py:676-1055)."""
+        rec = np.atleast_2d(recovered)
+        inj = np.atleast_2d(injected)
+        pairs = []
+        for r in range(len(rec)):
+            sd = rec_stds[r] if rec_stds is not None else None
+            for i in range(len(inj)):
+                s = self.match_score(rec[r], inj[i], sd)
+                if s["score"] >= min_score:
+                    pairs.append((s["score"], r, i, s))
+        pairs.sort(key=lambda p: -p[0])
+        used_r, used_i, matches = set(), set(), []
+        for score, r, i, s in pairs:
+            if r in used_r or i in used_i:
+                continue
+            used_r.add(r)
+            used_i.add(i)
+            matches.append({"recovered": r, "injected": i, **s})
+        tp = len(matches)
+        precision = tp / max(len(rec), 1)
+        recall = tp / max(len(inj), 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+        return {"matches": matches, "precision": precision,
+                "recall": recall, "f1": f1,
+                "mean_match_score": float(np.mean(
+                    [m["score"] for m in matches])) if matches else 0.0,
+                "n_recovered": len(rec), "n_injected": len(inj)}
+
+    @staticmethod
+    def failure_analysis(soft_result: Dict, injected: np.ndarray,
+                         loudness: Optional[np.ndarray] = None) -> Dict:
+        """Which injections were missed, and are misses loudness-biased?
+        (reference _analyze_recovery_failures, metrics.py:1056-1150).
+        loudness: per-injection proxy (e.g. network SNR); defaults to
+        Mc^(5/6)/d_L."""
+        inj = np.atleast_2d(injected)
+        if loudness is None:
+            mc = (inj[:, 0] * inj[:, 1]) ** 0.6 / (inj[:, 0]
+                                                   + inj[:, 1]) ** 0.2
+            loudness = mc ** (5.0 / 6.0) / np.maximum(inj[:, 2], 1e-9)
+        loudness = np.asarray(loudness, np.float64)
+        hit = np.zeros(len(inj), dtype=bool)
+        for m in soft_result["matches"]:
+            hit[m["injected"]] = True
+        missed = np.where(~hit)[0]
+        out = {"n_missed": int(missed.size),
+               "missed_indices": missed.tolist()}
+        if missed.size and hit.any():
+            out["missed_mean_loudness"] = float(loudness[missed].mean())
+            out["matched_mean_loudness"] = float(loudness[hit].mean())
+            out["misses_are_quieter"] = bool(
+                out["missed_mean_loudness"] < out["matched_mean_loudness"])
+        # weakest component among successful matches: where recovery
+        # quality is lost even when signals ARE found
+        if soft_result["matches"]:
+            comp = {k: float(np.mean([m[k] for m in
+                                      soft_result["matches"]]))
+                    for k in ("mass", "time", "sky", "distance")}
+            out["component_means"] = comp
+            out["weakest_component"] = min(comp, key=comp.get)
+        return out
+
 
 class ComparisonMetrics:
     """Pairwise method comparison on shared events: per-parameter KL (1-D
@@ -212,3 +355,100 @@ class ComparisonMetrics:
                 [c["width_ratio"] for c in comparison.values()])),
             "n_params": len(comparison),
         }
+
+    # ── multi-method comparison (reference ComparisonMetrics
+    #    compare_methods / _compute_method_ranking /
+    #    _test_statistical_significance, metrics.py:1157-1465) ──────────
+
+    def compare_methods(self, method_results: Dict[str, Dict]) -> Dict:
+        """method_results: name → {"accuracy": [per-event score],
+        "wall_time_s": [per-event seconds], optional "quality": [...]}.
+        Returns pairwise winners, a composite ranking, and paired
+        significance tests on shared events."""
+        names = list(method_results)
+        pairwise = {}
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                pairwise[f"{a}_vs_{b}"] = self._compare_two(
+                    a, method_results[a], b, method_results[b])
+        ranking = self._rank_methods(method_results)
+        return {"pairwise": pairwise, "ranking": ranking,
+                "significance": self._significance(method_results),
+                "n_methods": len(names)}
+
+    @staticmethod
+    def _compare_two(name_a: str, res_a: Dict, name_b: str,
+                     res_b: Dict) -> Dict:
+        acc_a = float(np.mean(res_a.get("accuracy", [0.0])))
+        acc_b = float(np.mean(res_b.get("accuracy", [0.0])))
+        t_a = float(np.sum(res_a.get("wall_time_s", [np.inf])))
+        t_b = float(np.sum(res_b.get("wall_time_s", [np.inf])))
+        acc_winner = (name_a if acc_a > acc_b
+                      else name_b if acc_b > acc_a else "tie")
+        t_winner = (name_a if t_a < t_b
+                    else name_b if t_b < t_a else "tie")
+        wins = {name_a: 0, name_b: 0, "tie": 0}
+        wins[acc_winner] += 1
+        wins[t_winner] += 1
+        overall = (name_a if wins[name_a] > wins[name_b]
+                   else name_b if wins[name_b] > wins[name_a] else "tie")
+        return {"accuracy": {name_a: acc_a, name_b: acc_b,
+                             "winner": acc_winner},
+                "timing": {name_a: t_a, name_b: t_b, "winner": t_winner,
+                           "speedup": float(max(t_a, t_b)
+                                            / max(min(t_a, t_b), 1e-9))},
+                "winner": overall, "win_counts": wins}
+
+    @staticmethod
+    def _rank_methods(method_results: Dict[str, Dict]) -> List[Dict]:
+        """Composite score = mean accuracy − 0.1·log10(total seconds):
+        accuracy dominates, an order of magnitude of wall time costs one
+        decimal of accuracy (reference weights accuracy over timing in
+        _compute_method_ranking)."""
+        rows = []
+        for name, res in method_results.items():
+            acc = float(np.mean(res.get("accuracy", [0.0])))
+            t = float(np.sum(res.get("wall_time_s", [1.0])))
+            rows.append({"method": name, "accuracy": acc,
+                         "total_wall_s": t,
+                         "composite": acc - 0.1 * np.log10(max(t, 1e-9))})
+        rows.sort(key=lambda r: -r["composite"])
+        for k, r in enumerate(rows):
+            r["rank"] = k + 1
+        return rows
+
+    @staticmethod
+    def _significance(method_results: Dict[str, Dict]) -> Dict:
+        """Paired Wilcoxon signed-rank on per-event accuracy for every
+        method pair sharing ≥3 events (the reference uses a two-sample
+        t-test, metrics.py:1430-1440; paired is strictly more appropriate
+        on shared events and degrades to the same conclusion)."""
+        from scipy.stats import ttest_rel, wilcoxon
+        names = list(method_results)
+        out = {}
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                xa = np.asarray(method_results[a].get("accuracy", []),
+                                np.float64)
+                xb = np.asarray(method_results[b].get("accuracy", []),
+                                np.float64)
+                if len(xa) != len(xb) or len(xa) < 3:
+                    continue
+                d = xa - xb
+                if np.allclose(d, 0):
+                    out[f"{a}_vs_{b}"] = {"p_value": 1.0,
+                                          "significant": False,
+                                          "test": "degenerate"}
+                    continue
+                try:
+                    stat, p = wilcoxon(xa, xb)
+                    test = "wilcoxon"
+                except ValueError:
+                    stat, p = ttest_rel(xa, xb)
+                    test = "ttest_rel"
+                out[f"{a}_vs_{b}"] = {"statistic": float(stat),
+                                      "p_value": float(p),
+                                      "significant": bool(p < 0.05),
+                                      "test": test,
+                                      "mean_diff": float(d.mean())}
+        return out

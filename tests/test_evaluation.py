@@ -299,3 +299,72 @@ def test_scalability_grading():
                                              [9000, 7000, 4000])
     assert falling["grade"] in ("D", "F")
     assert falling["best_size"] == 64.0
+
+
+def test_soft_match_scoring_and_failure_analysis():
+    """Soft multi-criteria matching (reference metrics.py:751-949):
+    perfect recovery scores ~1, a wrong-sky recovery loses exactly the
+    sky component, misses are diagnosed as loudness-biased."""
+    rm = RecoveryMetrics()
+    s = rm.match_score(TRUTH[0], TRUTH[0])
+    assert s["score"] > 0.99 and min(s.values()) > 0.99
+
+    off_sky = TRUTH[0].copy()
+    off_sky[3] += 2.0                      # ~2 rad away on the sky
+    s2 = rm.match_score(off_sky, TRUTH[0])
+    assert s2["sky"] < 0.05 and s2["mass"] > 0.99
+    assert s2["score"] == pytest.approx(
+        0.4 * s2["mass"] + 0.3 * s2["time"] + 0.2 * s2["sky"]
+        + 0.1 * s2["distance"], abs=1e-9)
+
+    # two injections, only the loud one recovered -> recall 0.5 and the
+    # failure analysis flags the miss as the quieter signal
+    quiet = TRUTH[0].copy()
+    quiet[2] = 2000.0                      # far -> quiet
+    quiet[8] = -0.9
+    inj = np.vstack([TRUTH[0], quiet])
+    soft = rm.match_soft(TRUTH, inj)
+    assert soft["recall"] == pytest.approx(0.5)
+    assert soft["precision"] == pytest.approx(1.0)
+    fa = RecoveryMetrics.failure_analysis(soft, inj)
+    assert fa["n_missed"] == 1 and fa["missed_indices"] == [1]
+    assert fa["misses_are_quieter"]
+    assert fa["weakest_component"] in ("mass", "time", "sky", "distance")
+
+
+def test_compare_methods_ranking_and_significance():
+    """Multi-method comparison (reference metrics.py:1157-1465): the
+    more accurate method wins pairwise and ranks first; the paired test
+    flags a consistent accuracy gap on shared events."""
+    rng = np.random.default_rng(0)
+    npe = {"accuracy": (0.9 + 0.02 * rng.standard_normal(20)).tolist(),
+           "wall_time_s": [0.5] * 20}
+    sampler = {"accuracy": (0.7 + 0.02 * rng.standard_normal(20)).tolist(),
+               "wall_time_s": [400.0] * 20}
+    out = ComparisonMetrics().compare_methods(
+        {"npe": npe, "sampler": sampler})
+    pw = out["pairwise"]["npe_vs_sampler"]
+    assert pw["winner"] == "npe"
+    assert pw["timing"]["winner"] == "npe"
+    assert pw["timing"]["speedup"] > 100
+    assert out["ranking"][0]["method"] == "npe"
+    sig = out["significance"]["npe_vs_sampler"]
+    assert sig["significant"] and sig["mean_diff"] > 0.1
+
+    # identical methods: no significance, tie verdicts
+    out2 = ComparisonMetrics().compare_methods({"a": npe, "b": npe})
+    assert not out2["significance"]["a_vs_b"]["significant"]
+    assert out2["pairwise"]["a_vs_b"]["winner"] == "tie"
+
+
+def test_bias_overall_rollup():
+    rng = np.random.default_rng(0)
+    truths = np.abs(rng.normal(30, 5, (400, 11))) + 1
+    ests = truths + rng.normal(0, 0.1, truths.shape)
+    ests[:, 2] += 3.0                      # one strongly biased param
+    pb = BiasMetrics().compute(ests, truths)
+    roll = BiasMetrics.overall(pb)
+    assert roll["worst_param"] == "luminosity_distance"
+    assert "luminosity_distance" in roll["significant_params"]
+    assert np.isfinite(pb["mass_1"]["skewness"])
+    assert np.isfinite(pb["mass_1"]["kurtosis_excess"])
