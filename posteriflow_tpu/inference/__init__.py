@@ -8,6 +8,7 @@ from posteriflow_tpu.inference.importance import (ISResult,
                                                   importance_correct,
                                                   make_log_likelihood,
                                                   make_marginalized_log_likelihood,
+                                                  run_smc_prior,
                                                   symmetrized_log_q)
 from posteriflow_tpu.inference.ood import (ContextStats, confidence_verdict,
                                            fit_context_stats, score_context)
@@ -27,6 +28,6 @@ __all__ = [
     "fetch_gwosc", "fit_context_stats", "score_context",
     "confidence_verdict", "ContextStats", "refinement_gate",
     "importance_correct", "make_log_likelihood",
-    "make_marginalized_log_likelihood", "symmetrized_log_q",
-    "ISResult", "rank_overlapping",
+    "make_marginalized_log_likelihood", "run_smc_prior",
+    "symmetrized_log_q", "ISResult", "rank_overlapping",
 ]

@@ -193,12 +193,20 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
 def run_comparison(engine, prepared, n_samples: int = 2000,
                    nlive: int = 300, seed: int = 0,
                    maxiter: int = 5000, importance: bool = False,
-                   marginalized_sampler: bool = True) -> Dict:
-    """NPE vs nested sampling on identical data (reference run_comparison:
-    dynesty_bridge.py:116). Returns both posteriors + per-parameter
-    comparison metrics + wall times. importance=True additionally compares
-    the IS-corrected NPE posterior against the sampler (the anchor triplet
-    of reference scripts/benchmark_real_events.py:2-12)."""
+                   marginalized_sampler: bool = True,
+                   sampler: str = "nested") -> Dict:
+    """NPE vs an independent sampler on identical data (reference
+    run_comparison: dynesty_bridge.py:116). Returns both posteriors +
+    per-parameter comparison metrics + wall times. importance=True
+    additionally compares the IS-corrected NPE posterior against the
+    sampler (the anchor triplet of reference
+    scripts/benchmark_real_events.py:2-12).
+
+    sampler="nested": dynesty if installed, else the fallback nested
+    sampler. sampler="smc_prior": tempered SMC from the training prior
+    (importance.run_smc_prior) — flow-independent, fully on-device, with
+    an evidence estimate in the same noise-ratio convention as IS (so
+    logz_gap is an apples-to-apples two-estimator consistency check)."""
     import time
 
     import jax.numpy as jnp
@@ -222,7 +230,21 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
     else:
         log_l = make_log_likelihood(prepared.strain)
     t0 = time.perf_counter()
-    ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter)
+    if sampler == "smc_prior":
+        from posteriflow_tpu.inference.importance import run_smc_prior
+        smc = run_smc_prior(log_l, seed=seed,
+                            marginalized=marginalized_sampler)
+        ns = {"samples": smc.samples,
+              "weights": smc.weights / smc.weights.sum(),
+              "logz": float(smc.log_evidence_ratio),
+              "sampler": "smc_prior",
+              "converged": bool(smc.converged),
+              "n_stages": int(smc.n_stages),
+              "ess": float(smc.ess),
+              "n_like_calls": int(len(smc.samples)
+                                  * (1 + 5 * max(smc.n_stages - 1, 0)))}
+    else:
+        ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter)
     t_ns = time.perf_counter() - t0
 
     idx = np.random.default_rng(seed).choice(

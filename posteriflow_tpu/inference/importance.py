@@ -609,32 +609,44 @@ def _reassemble_jnp(x: jnp.ndarray, cur: jnp.ndarray,
 
 
 def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
-                     ll_device_args, marg: bool, n_mcmc: int = 5):
+                     ll_device_args, marg: bool, n_mcmc: int = 5,
+                     g0: str = "flow"):
     """ONE jitted program for a full SMC rejuvenation sweep: lax.scan over
     n_mcmc random-walk Metropolis steps, each evaluating likelihood + prior
-    + symmetrized flow density on-device. Replaces ~3·n_mcmc separate
+    + the anchor density g0 on-device. Replaces ~3·n_mcmc separate
     device dispatches per stage (the round-3 battery spent most of its
     56–105 s/event wall in tunnel round-trips between them).
+
+    g0="flow" (importance correction): the anchor is the symmetrized flow
+    density at (context, rank). g0="prior" (run_smc_prior, the
+    flow-independent sampler baseline): the anchor IS the training prior,
+    so the geometric path is π_β ∝ π·L^β and no engine is needed.
 
     `corr` carries the per-particle marginalized-proposal correction
     (−log KDE(t_c) − log Δt): in marginalized mode the walk never moves
     t_c, so the correction is constant along the sweep and the device can
     keep every density in the host's 11-D-proper convention by adding it
-    to the raw flow density.
+    to the raw flow density. (Zero in prior mode.)
     """
-    model, scaler, params = engine.model, engine.scaler, engine.params
+    if g0 == "prior":
+        context = jnp.zeros(1, jnp.float32)      # unused placeholder
 
-    def _lg0_raw(thp, ctx):
-        ctx_b = jnp.broadcast_to(ctx, (thp.shape[0], ctx.shape[-1]))
-        r_b = jnp.full((thp.shape[0],), rank, dtype=jnp.int32)
+        def _lg0_raw(thp, ctx):
+            return jax.vmap(log_prior_bbh)(thp)
+    else:
+        model, scaler, params = engine.model, engine.scaler, engine.params
 
-        def side(t):
-            nll = model.apply(params, ctx_b, t, r_b,
-                              method=type(model).nll_from_context)
-            return -nll + scaler.log_abs_det_jacobian(t)
-        sw = thp.at[:, 0].set(thp[:, 1]).at[:, 1].set(thp[:, 0])
-        return jax.scipy.special.logsumexp(
-            jnp.stack([side(thp), side(sw)]), axis=0)
+        def _lg0_raw(thp, ctx):
+            ctx_b = jnp.broadcast_to(ctx, (thp.shape[0], ctx.shape[-1]))
+            r_b = jnp.full((thp.shape[0],), rank, dtype=jnp.int32)
+
+            def side(t):
+                nll = model.apply(params, ctx_b, t, r_b,
+                                  method=type(model).nll_from_context)
+                return -nll + scaler.log_abs_det_jacobian(t)
+            sw = thp.at[:, 0].set(thp[:, 1]).at[:, 1].set(thp[:, 0])
+            return jax.scipy.special.logsumexp(
+                jnp.stack([side(thp), side(sw)]), axis=0)
 
     @jax.jit
     def _move(cur, ll, lp, lg0, corr, beta, chol, key, ctx, *ll_dev):
@@ -682,6 +694,42 @@ def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
         return cur, ll, lp, lg0, float(out[4])
 
     return move_fn
+
+
+def run_smc_prior(log_l_fn: Callable, n: int = 4096, seed: int = 0,
+                  marginalized: bool = True, max_stages: int = 40,
+                  ladder_target_frac: float = 0.5) -> ISResult:
+    """Flow-INDEPENDENT posterior sampler + evidence: tempered SMC from the
+    training PRIOR, π_β ∝ π·L^β, β: 0 → 1.
+
+    This is the framework's sampler baseline for anchor comparisons
+    (reference role: dynesty in scripts/benchmark_real_events.py:2-12): it
+    shares the exact Whittle likelihood with importance sampling but NOT
+    the flow proposal, so agreement between its posterior/evidence and the
+    flow-anchored IS result is a two-independent-estimator consistency
+    check. log_evidence_ratio converges to log E_π[L] — the same
+    noise-ratio convention as importance_correct — so the logZ gap between
+    the two is directly meaningful. Fully on-device when log_l_fn carries
+    the fused-dispatch hooks (make_[marginalized_]log_likelihood does).
+    """
+    rng = np.random.default_rng(seed)
+    from posteriflow_tpu.prior import sample_prior_bbh
+    theta = sample_prior_bbh(rng, n)
+    log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
+    lp = np.asarray(log_prior_fn(jnp.asarray(theta, jnp.float32)),
+                    np.float64)
+    ll = np.asarray(log_l_fn(jnp.asarray(theta, jnp.float32)), np.float64)
+
+    move_fn = None
+    ll_core = getattr(log_l_fn, "core", None)
+    ll_device_args = getattr(log_l_fn, "device_args", None)
+    if ll_core is not None and ll_device_args is not None:
+        move_fn = _make_fused_move(None, None, 0, ll_core, ll_device_args,
+                                   marg=marginalized, g0="prior")
+    return _tempered_is(theta, lp.copy(), ll, lp, log_l_fn, log_prior_fn,
+                        ladder_target_frac=ladder_target_frac,
+                        max_stages=max_stages, marginalized=marginalized,
+                        move_fn=move_fn, seed=seed)
 
 
 def _norm_w(log_w: np.ndarray) -> np.ndarray:

@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--n-samples", type=int, default=3000)
     ap.add_argument("--nlive", type=int, default=400)
     ap.add_argument("--maxiter", type=int, default=12000)
+    ap.add_argument("--sampler", choices=("nested", "smc_prior"),
+                    default="nested",
+                    help="smc_prior = flow-independent tempered SMC from "
+                         "the training prior (on-device, gives an "
+                         "evidence in the same convention as IS)")
     ap.add_argument("--only", help="comma list of anchor names")
     ap.add_argument("--out", default="analysis/anchors.json")
     args = ap.parse_args(argv)
@@ -65,7 +70,7 @@ def main(argv=None):
 
     out_path = Path(args.out)
     report = {"ckpt": args.ckpt, "n_samples": args.n_samples,
-              "nlive": args.nlive, "anchors": {}}
+              "nlive": args.nlive, "sampler": args.sampler, "anchors": {}}
     if out_path.exists():                      # resume across invocations
         report = json.loads(out_path.read_text())
 
@@ -83,7 +88,7 @@ def main(argv=None):
         t0 = time.time()
         cmp = run_comparison(engine, prepared, n_samples=args.n_samples,
                              nlive=args.nlive, maxiter=args.maxiter,
-                             importance=True)
+                             importance=True, sampler=args.sampler)
         from posteriflow_tpu.evaluation.metrics import ComparisonMetrics
         entry = {
             "injected": params,

@@ -387,3 +387,35 @@ def test_marginalized_tempered_ladder_matches_direct_is():
     assert (tempered.samples[:, 7] <= 2 * np.pi + 1e-6).all()
     assert (tempered.samples[:, 8] >= _T_OFF_LO - 1e-6).all()
     assert (tempered.samples[:, 8] <= _T_OFF_HI + 1e-6).all()
+
+
+def test_run_smc_prior_matches_direct_prior_is():
+    """run_smc_prior (the flow-independent sampler baseline): on a
+    synthetic phase/tc-independent likelihood its evidence and posterior
+    means must match direct prior Monte Carlo."""
+    from posteriflow_tpu.inference.importance import (_finalize,
+                                                      run_smc_prior)
+    from posteriflow_tpu.prior import sample_prior_bbh
+
+    def log_l_fn(t):
+        t = np.asarray(t)
+        return (-0.5 * ((t[:, 0] - 35.0) / 2.0) ** 2
+                - 0.5 * ((t[:, 1] - 28.0) / 2.0) ** 2
+                - 0.5 * ((t[:, 2] - 800.0) / 100.0) ** 2)
+
+    res = run_smc_prior(log_l_fn, n=2048, seed=3, marginalized=True)
+    assert res.converged, res.beta_ladder
+    assert res.n_stages > 1
+    assert 0.0 < res.efficiency < 1.0 - 1e-9
+
+    # brute-force prior MC on the same target
+    rng = np.random.default_rng(11)
+    big = sample_prior_bbh(rng, 200_000)
+    direct = _finalize(big.astype(np.float32), log_l_fn(big))
+    assert abs(res.log_evidence_ratio - direct.log_evidence_ratio) < 0.5, (
+        res.log_evidence_ratio, direct.log_evidence_ratio)
+    for col in (0, 1, 2):
+        mu_s = np.sum(res.weights * res.samples[:, col])
+        mu_d = np.sum(direct.weights * direct.samples[:, col])
+        assert abs(mu_s - mu_d) / max(abs(mu_d), 1.0) < 0.08, (col, mu_s,
+                                                               mu_d)
