@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--n-samples", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cross-check", action="store_true",
+                    help="also run the flow-independent prior-anchored "
+                         "SMC sampler per case and record the logZ gap "
+                         "between the two estimators (exactness evidence)")
     ap.add_argument("--out", default="analysis/importance_validation.json")
     args = ap.parse_args(argv)
 
@@ -97,6 +101,29 @@ def main(argv=None):
                 (med[0] * med[1]) ** 0.6 / (med[0] + med[1]) ** 0.2), 2),
             "wall_s": round(time.time() - t0, 1),
         }
+        if args.cross_check:
+            from posteriflow_tpu.inference.importance import run_smc_prior
+            t1 = time.time()
+            smc = run_smc_prior(log_l, seed=args.seed + 100 + i,
+                                marginalized=True)
+            med_s = np.median(smc.samples[
+                np.random.default_rng(1).choice(
+                    len(smc.samples), 2000,
+                    p=smc.weights / smc.weights.sum())], axis=0)
+            out[case]["smc_prior"] = {
+                "converged": bool(smc.converged),
+                "n_stages": int(smc.n_stages),
+                "efficiency": round(float(smc.efficiency), 4),
+                "log_evidence_ratio": round(float(smc.log_evidence_ratio),
+                                            2),
+                "logz_gap_vs_flow_is": round(
+                    float(smc.log_evidence_ratio)
+                    - out[case]["log_evidence_ratio"], 2),
+                "mc_median": round(float(
+                    (med_s[0] * med_s[1]) ** 0.6
+                    / (med_s[0] + med_s[1]) ** 0.2), 2),
+                "wall_s": round(time.time() - t1, 1),
+            }
         log.info("%s: ess=%.1f eff=%.4f stages=%d logZ=%.2f conv=%s",
                  case, out[case]["ess"], out[case]["efficiency"],
                  out[case]["n_stages"], out[case]["log_evidence_ratio"],
