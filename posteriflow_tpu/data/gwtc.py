@@ -134,6 +134,15 @@ class GWTCLoader:
         if fetched:
             self._catalog[name] = fetched
             return dict(fetched, name=name)
+        # Any full GWyymmdd_hhmmss name (e.g. the ~128 GWTC-4/O4a events
+        # beyond the curated table) still resolves to a GPS epoch — enough
+        # for strain-window selection; source parameters need the gated
+        # GWOSC API (reference: gwtc_loader.py:55-630).
+        gps = gps_from_name(name)
+        if gps is not None:
+            derived = {"gps": gps, "catalog": "name-derived"}
+            self._catalog[name] = derived
+            return dict(derived, name=name)
         raise KeyError(
             f"unknown event {name!r}; built-in catalog has "
             f"{sorted(self._catalog)} and GWOSC API is unavailable here")

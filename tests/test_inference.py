@@ -307,6 +307,13 @@ def test_gwtc_catalog_depth_and_gps():
     e = gl.get_event("GW200311_115853")
     assert 25 < e["mass_1"] < 45 and e["gps"] > 1267000000
     assert gl.get_event("GW200115")["event_type"] == "NSBH"
+    # GWTC-4 entries + name-derived fallback for uncatalogued O4a names
+    assert gl.get_event("GW230529_181500")["event_type"] == "NSBH"
+    d = gl.get_event("GW240109_050431")       # not in the curated table
+    assert d["catalog"] == "name-derived" and d["gps"] > 1388000000
+    import pytest
+    with pytest.raises(KeyError):
+        gl.get_event("not-an-event")
 
 
 def test_marginalized_likelihood_properties():
