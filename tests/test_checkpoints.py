@@ -86,3 +86,27 @@ def test_gate_thresholds():
     assert not g.passes({**good, "base_conc": 5.0})
     assert not g.passes({**good, "cov90_mean": 0.5})
     assert not g.passes({**good, "sbc_pass_frac": 0.5})
+
+
+def test_export_release_roundtrip(tmp_path):
+    """scripts/export_release.py: ckpt -> release dir -> load_release gives
+    back identical params + config (the committed deployment format
+    pipeline.py:59-66 loads)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import export_release
+
+    state = init_state(jax.random.PRNGKey(0), TINY)
+    cm = CheckpointManager(tmp_path / "ckpt")
+    cm.save("best", state, TINY, {"val_nll": -1.0}, epoch=7)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "history.json").write_text("[]")
+    out = tmp_path / "release"
+    export_release.main(["--ckpt", str(tmp_path / "ckpt"),
+                         "--run-dir", str(run_dir), "--out", str(out)])
+    params, cfg, meta = CheckpointManager.load_release(out)
+    assert cfg == TINY and meta["epoch"] == 7
+    assert (out / "history.json").exists()
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
