@@ -43,6 +43,9 @@ def main(argv=None):
                     help="also run the flow-independent prior-anchored "
                          "SMC sampler per case and record the logZ gap "
                          "between the two estimators (exactness evidence)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the untimed compile-warmup pass; per-case "
+                         "wall_s then includes one-time jit compilation")
     ap.add_argument("--out", default="analysis/importance_validation.json")
     args = ap.parse_args(argv)
 
@@ -66,6 +69,31 @@ def main(argv=None):
     engine = InferenceEngine.from_checkpoint(args.ckpt, args.name)
 
     out = {}
+    if not args.no_warmup:
+        # One untimed pass through the full pipeline (same shapes as every
+        # case) so per-case wall_s is the steady-state production cost; the
+        # one-time jit compile lands in _meta.warmup_s instead of being
+        # charged to whichever case runs first.
+        t0 = time.time()
+        p0 = next(iter(CASES.values()))
+        full0 = {"ra": 1.0, "dec": 0.3, "theta_jn": 0.6, "psi": 0.4,
+                 "phase": 1.0, "geocent_time": 0.1, "a1": 0.1, "a2": 0.05,
+                 **p0}
+        prep0 = prepare_simulated([full0], seed=args.seed)
+        res0 = infer(engine, data=prep0, n_samples=args.n_samples,
+                     seed=args.seed)
+        ctx0 = engine.encode(jnp.asarray(prep0.strain)[None],
+                             jnp.asarray(prep0.asd_bands)[None])
+        log_l0 = make_marginalized_log_likelihood(prep0.strain)
+        importance_correct(engine, ctx0[0], 0, res0.samples, res0.log_prob,
+                           res0.railed, log_l0, marginalized=True,
+                           seed=args.seed)
+        if args.cross_check:
+            from posteriflow_tpu.inference.importance import run_smc_prior
+            run_smc_prior(log_l0, seed=args.seed + 99, marginalized=True)
+        out["_meta"] = {"warmup_s": round(time.time() - t0, 1)}
+        log.info("compile warmup: %.1f s", out["_meta"]["warmup_s"])
+
     for i, (case, p) in enumerate(CASES.items()):
         full = {"ra": 1.0 + i, "dec": 0.3 - 0.15 * i, "theta_jn": 0.6,
                 "psi": 0.4, "phase": 1.0, "geocent_time": 0.1,
@@ -134,7 +162,8 @@ def main(argv=None):
     print(json.dumps({k: {kk: v[kk] for kk in
                           ("ess", "efficiency", "n_stages",
                            "log_evidence_ratio", "converged")}
-                      for k, v in out.items()}, indent=2))
+                      for k, v in out.items()
+                      if not k.startswith("_")}, indent=2))
     return out
 
 
