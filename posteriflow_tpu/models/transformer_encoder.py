@@ -70,6 +70,20 @@ class PretrainedAudioEncoder:
                 f"{model_name!r} (zero-egress environment). Use "
                 f"LightweightTransformerEncoder instead.") from e
 
-    def encode(self, strain: jnp.ndarray) -> jnp.ndarray:  # pragma: no cover
-        feats = self._model.encode(strain).last_hidden_state
+    @classmethod
+    def from_config(cls, config, out_dim: int = 64):
+        """Random-init Whisper encoder from a transformers.WhisperConfig —
+        the offline entry point (no weight download), used for ablations
+        and to exercise the encode path in the zero-egress test suite.
+        Expects strain shaped [B, config.num_mel_bins, T] with
+        T == 2 * config.max_source_positions (Whisper's stride-2 stem)."""
+        from transformers import FlaxWhisperModel
+        self = cls.__new__(cls)
+        self.out_dim = out_dim
+        self._model = FlaxWhisperModel(config, seed=0)
+        return self
+
+    def encode(self, strain: jnp.ndarray) -> jnp.ndarray:
+        feats = self._model.encode(
+            input_features=strain).last_hidden_state
         return feats.mean(axis=1)[..., : self.out_dim]

@@ -110,6 +110,24 @@ def test_pretrained_audio_encoder_gated():
         PretrainedAudioEncoder()
 
 
+def test_pretrained_audio_encoder_from_config():
+    """Exercise the Whisper encode path offline (random-init tiny config;
+    reference: transformer_encoder.py Whisper-small front-end)."""
+    from transformers import WhisperConfig
+    from posteriflow_tpu.models.transformer_encoder import (
+        PretrainedAudioEncoder)
+    cfg = WhisperConfig(num_mel_bins=3, d_model=32, encoder_layers=1,
+                        encoder_attention_heads=2, decoder_layers=1,
+                        decoder_attention_heads=2, encoder_ffn_dim=64,
+                        decoder_ffn_dim=64, max_source_positions=128,
+                        max_target_positions=32, vocab_size=100)
+    enc = PretrainedAudioEncoder.from_config(cfg, out_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 256))
+    out = enc.encode(x)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_simulate_batch_deterministic():
     """Same key -> identical batch (reproducibility contract; the remix
     analog is the seeded per-(epoch,item) RNG, remix_data.py:220)."""
