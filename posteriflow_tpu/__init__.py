@@ -29,3 +29,16 @@ PARAM_NAMES = (
     "geocent_time", "a1", "a2",
 )
 N_PARAMS = len(PARAM_NAMES)
+
+# The full 15-parameter precessing-BBH set (BASELINE.json north star:
+# "15-parameter BBH NPE"): the 11 base parameters with a1/a2 reinterpreted
+# as total spin MAGNITUDES plus the standard precession angles at the
+# reference frequency — tilt_i = angle(S_i, L), phi_12 = azimuth between
+# the in-plane spin components, phi_jl = azimuth of L about J. This is the
+# parameterization the reference NAMES via IMRPhenomXP but never samples
+# (it pins tilt_1 = tilt_2 = 0: reference src/ahsd/data/
+# bilby_pipeline.py:63-65); here it is a first-class trained flow.
+PARAM_NAMES_PRECESSING = PARAM_NAMES + (
+    "tilt_1", "tilt_2", "phi_12", "phi_jl",
+)
+N_PARAMS_PRECESSING = len(PARAM_NAMES_PRECESSING)

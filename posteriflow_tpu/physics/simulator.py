@@ -86,9 +86,14 @@ def signal_white_fd(params: jax.Array, asd: jax.Array,
                     f_lower: float = F_LOWER) -> jax.Array:
     """One signal's whitened per-detector FD strain [n_det, N_RFFT] complex.
 
-    params: [N_PARAMS] physical (PARAM_NAMES order). In the whitened-FD
-    normalization, per-detector optimal SNR is the plain L2 norm over bins.
+    params: [N_PARAMS] physical (PARAM_NAMES order) for the aligned-spin
+    set, or [N_PARAMS_PRECESSING] (PARAM_NAMES_PRECESSING) for the full
+    15-D precessing set (dispatched on the STATIC trailing dim, so each
+    config compiles exactly one kernel). In the whitened-FD normalization,
+    per-detector optimal SNR is the plain L2 norm over bins.
     """
+    if params.shape[-1] >= 15:
+        return _signal_white_fd_prec(params, asd, f_lower)
     (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2) = params
     from posteriflow_tpu.physics.waveforms.tidal import \
         phenomd_matter_amp_phase
@@ -118,6 +123,80 @@ def signal_white_fd(params: jax.Array, asd: jax.Array,
     return h.astype(jnp.complex64)
 
 
+def _signal_white_fd_prec(params: jax.Array, asd: jax.Array,
+                          f_lower: float = F_LOWER) -> jax.Array:
+    """Whitened per-detector FD strain [n_det, N_RFFT] for one PRECESSING
+    signal, params [15] in PARAM_NAMES_PRECESSING order.
+
+    The aligned kernel's fused polarization-mix identity (one sincos per
+    (det, bin)) relies on h₊/hₓ sharing one phase series, which the twist
+    breaks; here the general complex projection runs instead:
+
+        h_d(f) = (F₊ᵈ h̃₊ + Fₓᵈ h̃ₓ) · e^{-2πifτ_d} / ASD_d · √(4Δf)
+
+    with (h̃₊, h̃ₓ) the PhenomP_Matter twist-up of the co-precessing
+    PhenomD(+matter) content (precession.py). Spin mapping: (a1, a2,
+    tilt_1, tilt_2, phi_12) → (chi_1z, chi_2z, chi_p) via
+    precession.spin_components; phi_jl enters as the twist's alpha0.
+    """
+    from posteriflow_tpu.physics.waveforms.precession import (
+        phenomp_polarizations, spin_components)
+    (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2,
+     t1, t2, p12, pjl) = params
+    chi_1z, chi_2z, chi_p = spin_components(a1, a2, t1, t2, p12, m1, m2)
+    hp, hc = phenomp_polarizations(_FREQS, m1, m2, chi_1z, chi_2z, d,
+                                   theta_jn, phase, chi_p, f_lower,
+                                   alpha0=pjl)
+    gmst = GMST_REF + OMEGA_EARTH * t_off
+    f_plus, f_cross, dt = network_response(ra, dec, psi_pol, gmst)
+    tau = (0.5 * DURATION + t_off + dt).astype(jnp.float32)
+    cycles = jnp.mod(_FREQS[None, :] * tau[:, None], 1.0)
+    shift = jax.lax.complex(jnp.cos(2.0 * jnp.pi * cycles),
+                            -jnp.sin(2.0 * jnp.pi * cycles))
+    h = (f_plus[:, None] * hp[None, :] + f_cross[:, None] * hc[None, :]) \
+        * shift / jnp.maximum(asd, 1e-38) * float(np.sqrt(4.0 * DELTA_F))
+    return h.astype(jnp.complex64)
+
+
+def _signal_snr_prec(params: jax.Array, asd: jax.Array,
+                     f_lower: float = F_LOWER,
+                     decimate: int = 1) -> jax.Array:
+    """Network SNR of one PRECESSING signal without the phase chain.
+
+    Same dead-code trick as the aligned path: the coalescence phase Ψ and
+    all time shifts drop out of |h_d(f)|, but the twist does NOT — the
+    modulus needs the (phase-free, cumsum-cheap) twist sums:
+
+        |h_d(f)| = (A/2)·|F₊ᵈ·(SP+SM)/2 + i·Fₓᵈ·(SP−SM)/2|
+
+    (the common e^{2iε} factor is unimodular and cancels in the modulus).
+    XLA still dead-code-eliminates phenomd's whole per-bin phase series."""
+    from posteriflow_tpu.physics.waveforms.precession import (
+        spin_components, twist_factors)
+    from posteriflow_tpu.physics.waveforms.tidal import \
+        phenomd_matter_amp_phase
+    (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2,
+     t1, t2, p12, pjl) = params
+    chi_1z, chi_2z, chi_p = spin_components(a1, a2, t1, t2, p12, m1, m2)
+    freqs = _FREQS[::decimate]
+    asd_d = asd[:, ::decimate]
+    amp, _psi_dead = phenomd_matter_amp_phase(freqs, m1, m2, chi_1z,
+                                              chi_2z, d, phase, f_lower)
+    # alpha0 = pjl is a constant rotation about J: it changes |h_d| per
+    # detector (the cone's azimuth relative to each antenna), so keep it
+    sp, sm = twist_factors(freqs, m1, m2, chi_1z, chi_2z, chi_p,
+                           theta_jn, f_lower, alpha0=pjl)
+    gmst = GMST_REF + OMEGA_EARTH * t_off
+    f_plus, f_cross, _dt = network_response(ra, dec, psi_pol, gmst)
+    comb = (f_plus[:, None] * (0.5 * (sp + sm))[None, :]
+            + 1j * f_cross[:, None] * (0.5 * (sp - sm))[None, :])
+    w2 = jnp.abs(comb) ** 2                                  # [n_det, F/D]
+    inv_asd2 = 1.0 / jnp.maximum(asd_d, 1e-38) ** 2
+    band = jnp.sum(w2 * inv_asd2, axis=0)                    # [F/D]
+    return jnp.sqrt(4.0 * DELTA_F * decimate
+                    * jnp.sum((0.5 * amp) ** 2 * band))
+
+
 def signal_snr_amp_only(params: jax.Array, asd: jax.Array,
                         f_lower: float = F_LOWER,
                         decimate: int = 1) -> jax.Array:
@@ -134,6 +213,8 @@ def signal_snr_amp_only(params: jax.Array, asd: jax.Array,
     per-bin phase series of phenomd_matter_amp_phase when ψ is unused,
     which is what makes the SNR gate pass of simulate_batch cheap
     (reports/sim_bisect.json no_gate vs no_barrier)."""
+    if params.shape[-1] >= 15:
+        return _signal_snr_prec(params, asd, f_lower, decimate)
     from posteriflow_tpu.physics.waveforms.tidal import \
         phenomd_matter_amp_phase
     (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2) = params
@@ -354,9 +435,12 @@ def simulate_batch(key: jax.Array, batch_size: int,
 
     # SNR-gate pass: amplitude-only exact SNR (phase/time-shift drop out
     # of |h|; see signal_snr_amp_only) — the full waveform is synthesized
-    # exactly ONCE per slot, in the slot-sum pass below
-    snr = jax.vmap(lambda q: signal_snr_amp_only(q, asd, cfg.f_lower,
-                                                 decimate=4))(
+    # exactly ONCE per slot, in the slot-sum pass below. The precessing
+    # integrand carries the (oscillatory-in-f) twist modulus, so its
+    # quadrature coarsens faster: decimate 2 keeps the gate SNR within
+    # 0.7% (measured; aligned decimate 4 is <0.1%).
+    snr = jax.vmap(lambda q: signal_snr_amp_only(
+        q, asd, cfg.f_lower, decimate=4 if p < 15 else 2))(
         flat).reshape(b, s)
     params_r, keep_orig, snr_r, n_valid = jax.vmap(
         lambda pp, sn, n: _gate_from_snr(pp, sn, n, cfg.min_snr))(

@@ -46,6 +46,36 @@ from posteriflow_tpu.physics.constants import MTSUN_SI
 from posteriflow_tpu.physics.waveforms.tidal import phenomd_matter_amp_phase
 
 
+def spin_components(a1, a2, tilt_1, tilt_2, phi_12, mass_1, mass_2):
+    """Map generic-spin magnitudes+angles -> (chi_1z, chi_2z, chi_p).
+
+    The single-spin twist consumes aligned components chi_iz = a_i cos(tilt_i)
+    plus one effective in-plane spin. chi_p here is the RESULTANT variant of
+    Hannam et al. 2014's effective precession spin: with q = m2/m1 ≤ 1 and
+    the standard precession-averaged weights B1 = 2 + 3q/2, B2 = 2 + 3/(2q),
+
+        chi_p = | B1·S1⊥ + B2·S2⊥·e^{i φ12} | / (B1 · m1²) ,
+        Si⊥   = a_i sin(tilt_i) m_i² ,
+
+    which reduces to the textbook max(B1 S1⊥, B2 S2⊥)/(B1 m1²) whenever one
+    in-plane spin dominates, and keeps phi_12 weakly informative (the vector
+    sum of the in-plane spins at the reference frequency) instead of exactly
+    degenerate — matching the physical situation better than the max() form
+    while staying branchless. The reference never exercises any of this
+    (tilts pinned to 0: src/ahsd/data/bilby_pipeline.py:63-65)."""
+    chi_1z = a1 * jnp.cos(tilt_1)
+    chi_2z = a2 * jnp.cos(tilt_2)
+    q = mass_2 / mass_1                           # ≤ 1 by mass ordering
+    b1 = 2.0 + 1.5 * q
+    b2 = 2.0 + 1.5 / q
+    s1p = a1 * jnp.sin(tilt_1) * mass_1 * mass_1
+    s2p = a2 * jnp.sin(tilt_2) * mass_2 * mass_2
+    sx = b1 * s1p + b2 * s2p * jnp.cos(phi_12)
+    sy = b2 * s2p * jnp.sin(phi_12)
+    chi_p = jnp.sqrt(sx * sx + sy * sy) / (b1 * mass_1 * mass_1)
+    return chi_1z, chi_2z, chi_p
+
+
 def precession_angles(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
                       chi_p, f_lower: float = 20.0):
     """(cos_beta [F], alpha [F], epsilon [F]) leading-order Euler angles.
@@ -122,7 +152,7 @@ def _y2_normalized(theta_jn):
 
 
 def twist_factors(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
-                  chi_p, theta_jn, f_lower: float = 20.0):
+                  chi_p, theta_jn, f_lower: float = 20.0, alpha0=0.0):
     """(SP [F] complex, SM [F] complex): the two twist sums such that
 
         h̃₊ = h_CP · (SP + SM)/2,   h̃ₓ = i · h_CP · (SP − SM)/2
@@ -135,6 +165,14 @@ def twist_factors(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     SM = Yn₋₂ exactly."""
     cos_beta, alpha, eps = precession_angles(
         freqs, mass_1, mass_2, chi_1, chi_2, chi_p, f_lower)
+    # alpha0: constant azimuth of L about J at the reference frequency —
+    # the waveform imprint of phi_jl (PhenomP's alpha0 role; convention
+    # here: alpha(f_ref) = alpha0, epsilon(f_ref) = 0, matching PhenomPv2's
+    # choice of the epsilon integration constant). In the aligned limit
+    # (β = 0) both twist sums reduce to e^{-2iα0}·Yn_{±2}: a COMMON
+    # constant phase on (h̃₊, h̃ₓ), i.e. exactly a coalescence-phase shift
+    # — phi_jl correctly becomes unobservable when nothing precesses.
+    alpha = alpha + alpha0
     d = wigner_d2_col2(cos_beta)                     # m = -2..2
     y = _y2_normalized(theta_jn)
     e_a = jnp.exp(1j * alpha.astype(jnp.float32))    # e^{+iα}
@@ -158,17 +196,17 @@ def twist_factors(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
 
 def phenomp_polarizations(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
                           luminosity_distance, theta_jn, phase_c,
-                          chi_p=0.0, f_lower: float = 20.0):
+                          chi_p=0.0, f_lower: float = 20.0, alpha0=0.0):
     """(h̃₊ [F], h̃ₓ [F]) complex64 precessing waveform: PhenomD(+matter)
     co-precessing content twisted by leading-order precession angles.
-    theta_jn is the J-frame inclination. chi_p = 0 reduces (to f32
-    roundoff) to phenomd_matter_polarizations — and, for BBH masses, to
-    plain PhenomD."""
+    theta_jn is the J-frame inclination; alpha0 carries phi_jl (see
+    twist_factors). chi_p = 0 reduces (to f32 roundoff) to
+    phenomd_matter_polarizations — and, for BBH masses, to plain PhenomD."""
     amp, psi = phenomd_matter_amp_phase(
         freqs, mass_1, mass_2, chi_1, chi_2, luminosity_distance,
         phase_c, f_lower)
     sp, sm = twist_factors(freqs, mass_1, mass_2, chi_1, chi_2,
-                           chi_p, theta_jn, f_lower)
+                           chi_p, theta_jn, f_lower, alpha0)
     h_cp = (0.5 * amp) * jnp.exp(-1j * psi.astype(jnp.float32))
     h_plus = h_cp * 0.5 * (sp + sm)
     h_cross = 1j * h_cp * 0.5 * (sp - sm)

@@ -70,6 +70,16 @@ class PriorConfig:
     premerger_fraction: float = 0.0
     premerger_ttm_range: tuple = (0.5, 3.0)
     premerger_distance_range: tuple = (50.0, 400.0)
+    # full 15-D precessing set (PARAM_NAMES_PRECESSING): isotropic spin
+    # tilts (cos tilt ~ U(-1,1)) + uniform azimuths phi_12/phi_jl. The
+    # spin MAGNITUDE bounds stay the per-type tables above (NS spins
+    # remain small, so their tilts are near-inert — deliberately: the
+    # flow should learn that). BASELINE north star: 15-parameter BBH NPE.
+    precessing: bool = False
+
+    @property
+    def n_params(self) -> int:
+        return 15 if self.precessing else 11
 
 
 def _uniform(key, lo, hi, shape=()):
@@ -83,7 +93,10 @@ def sample_signal_params(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> ja
     a shared set of uniforms, then selected by a categorical draw — cheap
     scalar math that vmaps over arbitrary batch shapes.
     """
-    keys = jax.random.split(key, 10)
+    # NOTE: split(key, 11)[:10] == split(key, 10) bit-exactly (verified),
+    # so the 11-D sampling stream — and every committed fixed-seed
+    # validation battery — is unchanged by the precessing extension.
+    keys = jax.random.split(key, 11)
     probs = jnp.asarray(cfg.type_probs)
     et = jax.random.categorical(keys[0], jnp.log(probs))       # scalar int
 
@@ -137,8 +150,16 @@ def sample_signal_params(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> ja
     a1 = _uniform(s1_key, 0.0, pick(_SPIN1_HI))
     a2 = _uniform(s2_key, 0.0, pick(_SPIN2_HI))
 
-    return jnp.stack([m1, m2, dist, ra, dec, theta_jn, psi, phase,
-                      t_off, a1, a2]).astype(jnp.float32)
+    base = [m1, m2, dist, ra, dec, theta_jn, psi, phase, t_off, a1, a2]
+    if cfg.precessing:
+        kt1, kt2, kp12, kpjl = jax.random.split(keys[10], 4)
+        # isotropic tilts, uniform azimuths
+        tilt_1 = jnp.arccos(_uniform(kt1, -1.0, 1.0))
+        tilt_2 = jnp.arccos(_uniform(kt2, -1.0, 1.0))
+        phi_12 = _uniform(kp12, 0.0, 2 * math.pi)
+        phi_jl = _uniform(kpjl, 0.0, 2 * math.pi)
+        base += [tilt_1, tilt_2, phi_12, phi_jl]
+    return jnp.stack(base).astype(jnp.float32)
 
 
 def sample_n_signals(key: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Array:
@@ -197,7 +218,8 @@ def sample_batch(key: jax.Array, batch: int, cfg: PriorConfig = PriorConfig()):
 # ── Closed-form log-density (importance sampling) ────────────────────────────
 
 def log_prior_bbh(theta: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Array:
-    """log p(theta) for the BBH training prior, theta [..., N_PARAMS].
+    """log p(theta) for the BBH training prior, theta [..., 11] or
+    [..., 15] (precessing set appends isotropic tilts + uniform azimuths).
 
     Matches the reference's closed form (importance.py:45-66): flat-in-log
     masses with m2 ≤ m1 (joint density 1/(m1·m2·logrange·log(m1/lo))),
@@ -248,6 +270,18 @@ def log_prior_bbh(theta: jax.Array, cfg: PriorConfig = PriorConfig()) -> jax.Arr
               & (t >= _T_OFF_LO) & (t <= _T_OFF_HI)
               & (a1 >= 0) & (a1 <= _SPIN1_HI[BBH])
               & (a2 >= 0) & (a2 <= _SPIN2_HI[BBH]))
+
+    if theta.shape[-1] >= 15:
+        t1, t2 = theta[..., 11], theta[..., 12]
+        p12, pjl = theta[..., 13], theta[..., 14]
+        # isotropic tilts: p(tilt) = sin(tilt)/2 on [0, π]
+        lp += jnp.log(jnp.maximum(jnp.sin(t1), 1e-30) / 2.0)
+        lp += jnp.log(jnp.maximum(jnp.sin(t2), 1e-30) / 2.0)
+        lp += -2.0 * math.log(2 * math.pi)          # phi_12, phi_jl
+        inside &= ((t1 >= 0) & (t1 <= math.pi) & (t2 >= 0) & (t2 <= math.pi)
+                   & (p12 >= 0) & (p12 <= 2 * math.pi)
+                   & (pjl >= 0) & (pjl <= 2 * math.pi))
+
     lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
     return jnp.where(inside, lp, -jnp.inf)
 
@@ -268,7 +302,7 @@ def sample_prior_bbh(rng, n: int, cfg: PriorConfig = PriorConfig()):
     else:
         d = (d_lo ** 3 + rng.uniform(0, 1, n)
              * (d_hi ** 3 - d_lo ** 3)) ** (1.0 / 3.0)
-    return np.column_stack([
+    cols = [
         m1, m2, d,
         rng.uniform(0, 2 * np.pi, n),
         np.arcsin(rng.uniform(-1, 1, n)),
@@ -277,7 +311,13 @@ def sample_prior_bbh(rng, n: int, cfg: PriorConfig = PriorConfig()):
         rng.uniform(0, 2 * np.pi, n),
         rng.uniform(_T_OFF_LO, _T_OFF_HI, n),
         rng.uniform(0, _SPIN1_HI[BBH], n),
-        rng.uniform(0, _SPIN2_HI[BBH], n)]).astype(np.float64)
+        rng.uniform(0, _SPIN2_HI[BBH], n)]
+    if cfg.precessing:
+        cols += [np.arccos(rng.uniform(-1, 1, n)),     # tilt_1
+                 np.arccos(rng.uniform(-1, 1, n)),     # tilt_2
+                 rng.uniform(0, 2 * np.pi, n),         # phi_12
+                 rng.uniform(0, 2 * np.pi, n)]         # phi_jl
+    return np.column_stack(cols).astype(np.float64)
 
 
 def loudness(m1: jax.Array, m2: jax.Array, d: jax.Array) -> jax.Array:

@@ -33,13 +33,19 @@ RANGES = {
     "geocent_time":        (-1.6, 1.6, False),
     "a1":                  (0.0, 1.0, False),
     "a2":                  (0.0, 1.0, False),
+    # precessing set (PARAM_NAMES_PRECESSING): tilts on [0, π] linear;
+    # the two azimuths span one full period and wrap (CIRCULAR below)
+    "tilt_1":              (0.0, math.pi, False),
+    "tilt_2":              (0.0, math.pi, False),
+    "phi_12":              (0.0, 2 * math.pi, False),
+    "phi_jl":              (0.0, 2 * math.pi, False),
 }
 
 # Parameters whose normalized range spans exactly one period (ra, phase:
 # 2π; psi: π). For these, an out-of-range flow sample is re-entered
 # modulo the period — a clamp would pile density onto the boundary and
 # break the circular topology, whereas the modular wrap is exact.
-CIRCULAR = ("ra", "phase", "psi")
+CIRCULAR = ("ra", "phase", "psi", "phi_12", "phi_jl")
 
 # Pre-merger (early-warning) geocent_time range: merger up to ~3 s past the
 # window end (reference: lean_npe.py:73-84).

@@ -36,6 +36,31 @@ from posteriflow_tpu.train.trainer import (TrainConfig, init_state,
 log = logging.getLogger("posteriflow.train")
 
 
+def _merge_params(fresh, loaded):
+    """Shape-tolerant weight transfer: copy every loaded leaf whose path
+    AND shape match the fresh init; keep the fresh init elsewhere.
+
+    This is the surgery entry point for cross-dimensional warm starts —
+    e.g. initializing the 15-D precessing flagship's ENCODER from an 11-D
+    release while its flow (different feature count) trains from scratch.
+    Returns (merged, n_transferred, n_total)."""
+    f_flat = dict(jax.tree_util.tree_flatten_with_path(fresh)[0])
+    l_flat = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged, kept = {}, 0
+    for path, leaf in f_flat.items():
+        cand = l_flat.get(path)
+        if cand is not None and getattr(cand, "shape", None) == leaf.shape:
+            merged[path] = cand
+            kept += 1
+        else:
+            merged[path] = leaf
+    treedef = jax.tree_util.tree_structure(fresh)
+    out = jax.tree_util.tree_unflatten(
+        treedef, [merged[p] for p, _ in
+                  jax.tree_util.tree_flatten_with_path(fresh)[0]])
+    return out, kept, len(f_flat)
+
+
 def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
         steps_per_epoch: int = 200, seed: int = 0, mesh=None,
         gate: CalibrationGate = CalibrationGate(), ckpt_every: int = 0,
@@ -91,12 +116,15 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
             # release export (git-committed msgpack): weights only, fresh
             # optimizer under cfg — the durable fine-tune entry point
             params, _r_cfg, meta = CheckpointManager.load_release(init_from)
+            params, n_kept, n_total = _merge_params(state.params, params)
             state = state.replace(params=params)
         else:
             state, meta = CheckpointManager(Path(init_from).parent) \
                 .fine_tune_restore(Path(init_from).name, cfg)
-        log.info("fine-tuning from %s (epoch %s)", init_from,
-                 meta.get("epoch"))
+            n_kept = n_total = sum(
+                1 for _ in jax.tree_util.tree_leaves(state.params))
+        log.info("fine-tuning from %s (epoch %s, %d/%d leaves transferred)",
+                 init_from, meta.get("epoch"), n_kept, n_total)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info("LeanNPE parameters: %s", f"{n_params:,}")
 
@@ -158,6 +186,11 @@ def fit(cfg: TrainConfig, outdir: str | Path, epochs: int = 60,
             select = 0.5 * (val + real_nll)
 
         rec = {
+            # warm-restart/resume provenance: a fine-tuned release must be
+            # distinguishable from a from-scratch run (ADVICE r3); these
+            # land in every checkpoint meta.json and hence every export
+            **({"init_from": str(init_from)} if init_from else {}),
+            **({"resume_from": str(resume_from)} if resume_from else {}),
             "epoch": epoch, "train_nll": train_nll, "select_nll": select,
             "val_nll": val, **real_metrics, "grad_norm": grad_norm,
             **{k: float(v) for k, v in m.items() if k.startswith("gn_")},

@@ -51,6 +51,18 @@ class TrainConfig:
     # every update ~40x; AGC keeps clipping relative, only taming outliers.
     grad_clip_mode: str = "global"
 
+    def __post_init__(self):
+        # the simulator's label block and the flow's feature count must
+        # agree — catch a precessing/param_names mismatch at config time,
+        # not as a shape error deep inside the jitted step
+        if self.npe.n_params != self.sim.prior.n_params:
+            raise ValueError(
+                f"npe.param_names has {self.npe.n_params} params but "
+                f"sim.prior samples {self.sim.prior.n_params} "
+                f"(prior.precessing={self.sim.prior.precessing}); set "
+                "npe.param_names to PARAM_NAMES_PRECESSING for a "
+                "precessing prior")
+
 
 class TrainState(train_state.TrainState):
     pass

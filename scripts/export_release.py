@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--run-dir", default=None,
                     help="training run dir holding history.json")
     ap.add_argument("--out", required=True, help="release dir to write")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-restart parent checkpoint/release (provenance"
+                         " override when the run's meta lacks it)")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,6 +45,8 @@ def main(argv=None):
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "params.msgpack").write_bytes(to_bytes(state.params))
+    if args.init_from:
+        meta.setdefault("metrics", {})["init_from"] = args.init_from
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
 
     ood = Path(args.ckpt) / "ood_stats.npz"
