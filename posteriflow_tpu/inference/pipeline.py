@@ -129,7 +129,8 @@ def _prepare(engine: InferenceEngine, data=None, strain=None, gps=None,
         return data
     if inject is not None:
         return prepare_simulated(inject, seed=seed,
-                                 psd_bands=engine.cfg.npe.psd_bands)
+                                 psd_bands=engine.cfg.npe.psd_bands,
+                                 param_names=engine.cfg.npe.param_names)
     if strain is not None:
         return prepare_real(strain, gps_time=gps or 0.0,
                             psd_bands=engine.cfg.npe.psd_bands)
@@ -179,6 +180,7 @@ def infer(engine: InferenceEngine, data=None, strain=None, gps=None,
         "draws_per_sec": n_samples / max(timings["sampling"], 1e-9),
     }
     return PosteriorResult(samples=samples, log_prob=np.asarray(log_q[0]),
+                           param_names=tuple(engine.cfg.npe.param_names),
                            rank=rank, railed=railed_np, diagnostics=diag,
                            gate=gate, verdict=verdict,
                            gps_time=prepared.gps_time)

@@ -208,11 +208,15 @@ def prepare_real(strain_by_det: Dict[str, np.ndarray],
 
 def prepare_simulated(params_list: List[dict] | np.ndarray,
                       seed: int = 0, psd_bands: int = 16,
-                      add_noise: bool = True) -> PreparedData:
+                      add_noise: bool = True,
+                      param_names=None) -> PreparedData:
     """Fresh injection through the exact training simulator (reference:
     preprocessing.py:290-327 delegates to the generation pipeline).
 
-    params_list: [n_sig] dicts of PARAM_NAMES (or [n_sig, 11] array)."""
+    params_list: [n_sig] dicts of param_names (default PARAM_NAMES; pass
+    PARAM_NAMES_PRECESSING for 15-D precessing injections — dict keys the
+    caller omits default to 0.0, so an aligned-spin dict injects the
+    aligned limit of the precessing kernel) or an [n_sig, P] array."""
     import jax
     import jax.numpy as jnp
     from posteriflow_tpu import PARAM_NAMES
@@ -221,13 +225,22 @@ def prepare_simulated(params_list: List[dict] | np.ndarray,
     from posteriflow_tpu.prior import PriorConfig
 
     t0 = time.time()
+    if param_names is None:
+        param_names = PARAM_NAMES
     if isinstance(params_list, np.ndarray):
         arr = np.asarray(params_list, dtype=np.float32)
     else:
-        arr = np.array([[p[k] for k in PARAM_NAMES] for p in params_list],
-                       dtype=np.float32)
+        # only the precession block may be omitted (defaults to the
+        # aligned limit); a missing BASE key stays a hard KeyError so
+        # typos don't silently inject zeros
+        opt = {"tilt_1", "tilt_2", "phi_12", "phi_jl"}
+        arr = np.array(
+            [[float(p.get(k, 0.0)) if k in opt else float(p[k])
+              for k in param_names] for p in params_list],
+            dtype=np.float32)
     n_sig = arr.shape[0]
-    cfg = SimConfig(prior=PriorConfig(max_signals=max(n_sig, 1)),
+    cfg = SimConfig(prior=PriorConfig(max_signals=max(n_sig, 1),
+                                      precessing=arr.shape[1] >= 15),
                     min_snr=0.0, psd_bands=psd_bands, add_noise=add_noise)
     # jit the whole event synthesis: eagerly, the experimental axon TPU
     # backend per-primitive path hits UNIMPLEMENTED on linalg ops inside

@@ -78,7 +78,6 @@ def main(argv=None):
 
     import jax
     import numpy as np
-    from posteriflow_tpu import PARAM_NAMES
     from posteriflow_tpu.inference import fit_context_stats, infer
     from posteriflow_tpu.inference.pipeline import InferenceEngine
     from posteriflow_tpu.physics.simulator import simulate_batch
@@ -90,6 +89,7 @@ def main(argv=None):
     t_start = time.time()
     cm = CheckpointManager(args.ckpt)
     state, cfg, meta = cm.restore(args.name)
+    PARAM_NAMES = tuple(cfg.npe.param_names)   # checkpoint's own set
     engine = InferenceEngine(state.params, cfg)
     log.info("checkpoint %s/%s (epoch %s)", args.ckpt, args.name,
              meta.get("epoch"))
