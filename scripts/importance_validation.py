@@ -91,7 +91,9 @@ def main(argv=None):
         if args.cross_check:
             from posteriflow_tpu.inference.importance import run_smc_prior
             run_smc_prior(log_l0, seed=args.seed + 99, marginalized=True)
-        out["_meta"] = {"warmup_s": round(time.time() - t0, 1)}
+        from posteriflow_tpu.utils.provenance import artifact_meta
+        out["_meta"] = artifact_meta(args.ckpt,
+                                     warmup_s=round(time.time() - t0, 1))
         log.info("compile warmup: %.1f s", out["_meta"]["warmup_s"])
 
     for i, (case, p) in enumerate(CASES.items()):

@@ -69,8 +69,10 @@ def main(argv=None):
     sel = set(args.only.split(",")) if args.only else None
 
     out_path = Path(args.out)
+    from posteriflow_tpu.utils.provenance import artifact_meta
     report = {"ckpt": args.ckpt, "n_samples": args.n_samples,
-              "nlive": args.nlive, "sampler": args.sampler, "anchors": {}}
+              "nlive": args.nlive, "sampler": args.sampler, "anchors": {},
+              "_meta": artifact_meta(args.ckpt)}
     if out_path.exists():                      # resume across invocations
         report = json.loads(out_path.read_text())
 

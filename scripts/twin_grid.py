@@ -98,9 +98,11 @@ def main(argv=None):
     qs = sorted({g["q"] for g in grid})
     band = [q for q in qs if np.mean([abs(g["q_bias_mean"]) for g in grid
                                       if g["q"] == q]) > 0.05]
+    from posteriflow_tpu.utils.provenance import artifact_meta
     report = {"grid": grid,
               "q_attractor_band": [min(band), max(band)] if band else None,
-              "target_snr": args.target_snr}
+              "target_snr": args.target_snr,
+              "_meta": artifact_meta(args.ckpt)}
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
