@@ -205,6 +205,36 @@ def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
     return total
 
 
+def rank_uncertainty(scores: jnp.ndarray, sigma: jnp.ndarray,
+                     mask: jnp.ndarray, key, n_mc: int = 256) -> jnp.ndarray:
+    """Per-candidate expected RANK displacement [B, n] under the head's
+    score uncertainty: scores_i ~ N(score_i, sigma_i^2), Monte-Carlo over
+    n_mc perturbed score vectors, E|rank(perturbed) - rank(mean)|.
+
+    This is the post-hoc map from the heteroscedastic head (trained to
+    track |score error|, reference loss semantics priority_net.py:414-538)
+    to the operational quantity — how far this candidate's extraction
+    slot may move. A candidate with large sigma but large score gaps to
+    its neighbors has a STABLE rank; a mid-pack candidate inside a tight
+    cluster is rank-fragile even at modest sigma. Raw sigma cannot see
+    the gaps, which is why corr(sigma, |rank error|) measured 0.075
+    (VERDICT r3 weak-#4); the propagated displacement can."""
+    import jax
+
+    b, n = scores.shape
+    eps = jax.random.normal(key, (n_mc, b, n))
+    pert = scores[None] + sigma[None] * eps
+    neg_inf = jnp.where(mask > 0, 0.0, -1e9)
+    # rank of candidate i = number of live candidates scoring above it
+    def ranks(s):
+        s = s + neg_inf
+        return jnp.sum((s[..., None, :] > s[..., :, None])
+                       & (mask[..., None, :] > 0), axis=-1)
+    base = ranks(scores)                       # [B, n]
+    disp = jnp.abs(jax.vmap(ranks)(pert) - base[None]).astype(jnp.float32)
+    return jnp.mean(disp, axis=0) * mask
+
+
 def rank_by_score(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Descending-priority candidate order; masked slots last."""
     return jnp.argsort(-jnp.where(mask > 0, scores, -jnp.inf), axis=-1)

@@ -51,9 +51,12 @@ def main(argv=None):
     net, params = load_priority_net(
         Path(args.model) / "priority_params.msgpack")
 
+    from posteriflow_tpu.models.priority_net import rank_uncertainty
+
     fwd = jax.jit(lambda s, c, m, se: net.apply(params, s, c, m,
                                                 snr_est=se))
     batch_fn = jax.jit(lambda k: make_priority_batch(k, cfg))
+    ru_fn = jax.jit(lambda sc, sg, m, k: rank_uncertainty(sc, sg, m, k))
 
     top1 = top1_fb = 0
     n_multi = 0
@@ -62,10 +65,16 @@ def main(argv=None):
                                      (1.0, 10.0))}
     sig_err = []
     cand_sig_err = []
+    rank_unc_pairs = []
     for i in range(args.n_batches):
         segs, cand, mask, targets, _snr, snr_est = batch_fn(
             jax.random.fold_in(jax.random.PRNGKey(args.seed), i))
         scores, sigma = fwd(segs, cand, mask, snr_est)
+        # MC-propagated per-candidate rank displacement (the post-hoc
+        # sigma -> ranking-error map; models/priority_net.rank_uncertainty)
+        ru = np.asarray(ru_fn(scores, sigma, mask,
+                              jax.random.fold_in(
+                                  jax.random.PRNGKey(args.seed + 31), i)))
         scores, sigma = np.asarray(scores), np.asarray(sigma)
         mask_np = np.asarray(mask)
         targets = np.asarray(targets)
@@ -105,12 +114,20 @@ def main(argv=None):
             # uncertainty vs error: per-candidate |score error| (what the
             # heteroscedastic NLL trains sigma to predict) and the
             # event-level rank displacement
-            rank_err = float(np.abs(np.argsort(np.argsort(-sc))
-                                    - np.argsort(np.argsort(-tg))).mean())
+            rank_pred = np.argsort(np.argsort(-sc))
+            rank_true = np.argsort(np.argsort(-tg))
+            disp = np.abs(rank_pred - rank_true)
+            rank_err = float(disp.mean())
             sig_err.append((float(sg.mean()), rank_err))
             for a in range(k):
                 cand_sig_err.append((float(sg[a]),
                                      float(abs(sc[a] - tg[a]))))
+            # per-candidate: MC-propagated rank uncertainty vs the actual
+            # rank displacement (the round-2 metric as defined: an
+            # uncertainty that tracks RANKING error)
+            rub = ru[b, live]
+            for a in range(k):
+                rank_unc_pairs.append((float(rub[a]), float(disp[a])))
 
     sig_err = np.asarray(sig_err)
     cand_sig_err = np.asarray(cand_sig_err)
@@ -124,7 +141,16 @@ def main(argv=None):
         "pairwise_acc_by_target_sep": {
             f"[{lo},{hi})": (acc[0] / acc[1] if acc[1] else None)
             for (lo, hi), acc in pair_bins.items()},
+        # the round-2 target metric: predicted rank uncertainty (sigma
+        # MC-propagated through the score ordering) vs |actual rank
+        # displacement|, per candidate
         "uncertainty_error_corr": float(np.corrcoef(
+            np.asarray(rank_unc_pairs)[:, 0],
+            np.asarray(rank_unc_pairs)[:, 1])[0, 1])
+        if len(rank_unc_pairs) > 3 else None,
+        # legacy event-level raw-sigma correlate (kept for comparability
+        # with priority_eval_v5.json, where it measured 0.075)
+        "uncertainty_event_raw_sigma_corr": float(np.corrcoef(
             sig_err[:, 0], sig_err[:, 1])[0, 1]) if len(sig_err) > 3
         else None,
         # per-candidate calibration: corr(sigma_i, |score_i - target_i|) —
