@@ -218,6 +218,40 @@ class LongBNSNPE(nn.Module):
         return self.scaler.denormalize(self.scaler.wrap(y))
 
 
+def make_sharded_nll(mesh: Mesh, seq_len: int, npe: "LongBNSNPE"):
+    """Sequence-parallel TRAINING loss for LongBNSNPE: the encoder runs
+    under shard_map with the token sequence split over the mesh's "model"
+    axis and the batch over "data"; the (small) flow evaluates on the
+    gathered contexts. Differentiable end to end — shard_map transposes
+    to the matching collectives, so grads through the all-gathered K/V
+    and the psum'd pool are exact (tested == unsharded grads on the CPU
+    mesh). This is the path a >1-chip deployment trains configs[3]
+    through; on one device it reduces to the plain loss.
+
+    Returns loss_fn(params, tokens [B, L, F], theta [B, P]) -> scalar,
+    with params = the pytree from LongBNSNPE.init (same structure as the
+    unsharded trainer's, so checkpoints interchange)."""
+    from posteriflow_tpu.models.flow import CouplingNSF
+    from posteriflow_tpu.scaler import ParamScaler
+
+    cfg = npe.enc or {}
+    _, apply_sharded, _ = make_sharded_encoder(mesh, seq_len, None, cfg)
+    flow = CouplingNSF(features=11,
+                       context_features=cfg.get("context_dim", 256),
+                       num_layers=npe.flow_layers, hidden=npe.flow_hidden,
+                       num_bins=npe.flow_bins)
+    scaler = ParamScaler()
+
+    def loss_fn(params, tokens, theta):
+        p = params["params"]
+        ctx = apply_sharded({"params": p["encoder"]}, tokens)
+        y = scaler.normalize(theta)
+        return -jnp.mean(flow.apply({"params": p["flow"]}, y, ctx,
+                                    method=CouplingNSF.log_prob))
+
+    return loss_fn
+
+
 def make_sharded_encoder(mesh: Mesh, seq_len: int, n_feat: int,
                          cfg: Optional[dict] = None):
     """Build (init_fn, apply_fn) for the sequence-parallel encoder.

@@ -158,7 +158,8 @@ def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
                  margin_scale: float = 1.0,
                  margin_floor: float = 0.02,
                  aux: Optional[jnp.ndarray] = None,
-                 snr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 snr: Optional[jnp.ndarray] = None,
+                 close_boost: float = 0.0) -> jnp.ndarray:
     """Pairwise ADAPTIVE-margin ranking + MSE + uncertainty calibration
     (reference AdaptiveRankingLoss + PriorityLoss semantics,
     priority_net.py:358-538), fully vectorized over candidate pairs.
@@ -182,8 +183,15 @@ def ranking_loss(scores: jnp.ndarray, targets: jnp.ndarray,
     ds = scores[:, :, None] - scores[:, None, :]
     want_higher = (dt > 0).astype(jnp.float32) * pair_mask
     margin = margin_scale * jnp.abs(dt) + margin_floor
-    rank_term = jnp.sum(want_higher * jnp.maximum(0.0, margin - ds)) \
-        / jnp.maximum(jnp.sum(want_higher), 1.0)
+    # close-pair boost (v6): the adaptive margin keeps near-tie pairs from
+    # over-penalization but also starves them of gradient — the [0, 0.1)
+    # separation bin plateaued at 0.665-0.685 pairwise (VERDICT r3
+    # weak-#4). Upweighting pairs by 1 + boost·e^{-|Δtarget|/0.1}
+    # concentrates the ranking gradient exactly there.
+    pair_w = want_higher * (1.0 + close_boost
+                            * jnp.exp(-jnp.abs(dt) / 0.1))
+    rank_term = jnp.sum(pair_w * jnp.maximum(0.0, margin - ds)) \
+        / jnp.maximum(jnp.sum(pair_w), 1.0)
 
     mse = jnp.sum(mask * (scores - targets) ** 2) \
         / jnp.maximum(jnp.sum(mask), 1.0)

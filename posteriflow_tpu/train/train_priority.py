@@ -42,6 +42,7 @@ class PriorityTrainConfig:
     d_model: int = 64
     use_energy: bool = True     # v4: excess-power features + aux SNR head
     use_snr_est: bool = True    # v5: physics expected-SNR input feature
+    close_boost: float = 0.0    # v6: near-tie pair gradient boost
 
     @property
     def sim(self) -> SimConfig:
@@ -140,7 +141,8 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
             scores, sigma, aux = net.apply(p, segs, cand, mask,
                                            with_aux=True, snr_est=snr_est)
             return ranking_loss(scores, targets, sigma, mask,
-                                aux=aux, snr=snr)
+                                aux=aux, snr=snr,
+                                close_boost=cfg.close_boost)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

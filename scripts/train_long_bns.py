@@ -35,10 +35,25 @@ def main(argv=None):
     ap.add_argument("--cal-events", type=int, default=256)
     ap.add_argument("--cal-post", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="train through the SEQUENCE-PARALLEL path on an "
+                         "N-device (data x model) mesh — exercises the "
+                         "shard_map encoder in anger (implies --cpu on "
+                         "this single-chip machine: virtual host devices)")
     ap.add_argument("--prng", default="threefry2x32",
                     choices=["rbg", "threefry2x32"])
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
+
+    import os
+    if args.mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
+        args.cpu = True
 
     import jax
     if args.cpu:
@@ -94,11 +109,22 @@ def main(argv=None):
         history = json.loads((outdir / "history.json").read_text())
         log.info("resumed from %s (%d records)", ckpt, len(history))
 
+    sharded_loss = None
+    if args.mesh:
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[: args.mesh])
+        mesh = Mesh(devs.reshape(1, args.mesh), ("data", "model"))
+        from posteriflow_tpu.models.long_bns import make_sharded_nll
+        sharded_loss = make_sharded_nll(mesh, tokens0.shape[1], net)
+        log.info("sequence-parallel training on %s", mesh)
+
     @jax.jit
     def step(params, opt_state, k):
         tokens, theta = batch_fn(k)
 
         def loss_fn(p):
+            if sharded_loss is not None:
+                return sharded_loss(p, tokens, theta)
             return net.apply(p, tokens, theta)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -171,7 +197,8 @@ def main(argv=None):
         "final_val_nll": history[-1]["val_nll"] if history else None,
         "config": {"duration": args.duration, "n_bands": args.n_bands,
                    "per_band": args.per_band, "steps": args.steps,
-                   "batch": args.batch, **enc_cfg, "n_params": n_par},
+                   "batch": args.batch, **enc_cfg, "n_params": n_par,
+                   "mesh": args.mesh},
     }
     (outdir / "calibration.json").write_text(json.dumps(cal, indent=2))
     log.info("cov50 violations: %d; cov90 violations: %d; SBC pass %.2f",
