@@ -31,7 +31,11 @@ def main():
     from posteriflow_tpu.physics.simulator import simulate_batch
     from posteriflow_tpu.train.trainer import TrainConfig, init_state
 
-    cfg = TrainConfig()
+    # the 15-D precessing flagship config (BASELINE.json names a
+    # 15-parameter BBH flow; configs/npe_r6.yaml is that model)
+    from posteriflow_tpu.utils.config import load_config
+    cfg_path = Path(__file__).parent / "configs" / "npe_r6.yaml"
+    cfg = load_config(cfg_path) if cfg_path.exists() else TrainConfig()
     # EVERYTHING under jit: eager op-by-op dispatch through the axon TPU
     # tunnel remote-compiles each primitive (minutes); one traced program
     # compiles once.
