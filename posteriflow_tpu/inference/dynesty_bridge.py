@@ -272,7 +272,8 @@ def run_comparison(engine, prepared, n_samples: int = 2000,
               "n_like_calls": int(len(smc.samples)
                                   * (1 + 5 * max(smc.n_stages - 1, 0)))}
     else:
-        ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter)
+        ns = run_dynesty(log_l, nlive=nlive, seed=seed, maxiter=maxiter,
+                         ndim=engine.cfg.npe.n_params)
     t_ns = time.perf_counter() - t0
 
     idx = np.random.default_rng(seed).choice(

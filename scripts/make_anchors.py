@@ -85,8 +85,22 @@ def main(argv=None):
             continue
         params = {k: v for k, v in spec.items() if k != "name"}
         params.update(_BASE)
+        names = tuple(engine.cfg.npe.param_names)
+        if len(names) >= 15:
+            # 15-D flagship: anchor on a PRECESSING injection (seeded
+            # per-anchor angles) so the sampler and flow face the
+            # production parameter space
+            import numpy as _np
+            rng_a = _np.random.default_rng(hash(name) % 2 ** 16)
+            params.update(
+                a1=0.5, a2=0.2,
+                tilt_1=float(_np.arccos(rng_a.uniform(-1, 1))),
+                tilt_2=float(_np.arccos(rng_a.uniform(-1, 1))),
+                phi_12=float(rng_a.uniform(0, 2 * _np.pi)),
+                phi_jl=float(rng_a.uniform(0, 2 * _np.pi)))
         prepared = prepare_simulated([params], seed=hash(name) % 2 ** 16,
-                                     psd_bands=engine.cfg.npe.psd_bands)
+                                     psd_bands=engine.cfg.npe.psd_bands,
+                                     param_names=names)
         t0 = time.time()
         cmp = run_comparison(engine, prepared, n_samples=args.n_samples,
                              nlive=args.nlive, maxiter=args.maxiter,
@@ -107,7 +121,7 @@ def main(argv=None):
             "t_npe_s": round(cmp["t_npe_s"], 2),
             "t_nested_s": round(cmp["t_nested_s"], 2),
             "t_total_s": round(time.time() - t0, 1),
-            "param_names": list(PARAM_NAMES),
+            "param_names": list(engine.cfg.npe.param_names),
         }
         report["anchors"][name] = entry
         out_path.parent.mkdir(parents=True, exist_ok=True)

@@ -42,6 +42,7 @@ def main(argv=None):
     from posteriflow_tpu.physics.simulator import signal_white_fd
 
     engine = load_model(args.ckpt, args.name)
+    names = tuple(engine.cfg.npe.param_names)
     asd = default_network_asd()
 
     # jitted: eager PhenomD hits the axon backend's per-primitive
@@ -50,13 +51,11 @@ def main(argv=None):
         jnp.abs(signal_white_fd(th, asd)) ** 2)))
 
     def snr_of(p):
-        theta = jnp.asarray([p["mass_1"], p["mass_2"],
-                             p["luminosity_distance"], p["ra"], p["dec"],
-                             p["theta_jn"], p["psi"], p["phase"],
-                             p["geocent_time"], p["a1"], p["a2"]],
+        theta = jnp.asarray([p.get(k, 0.0) for k in names],
                             dtype=jnp.float32)
         return float(snr_jit(theta))
 
+    rng = np.random.default_rng(7)
     grid = []
     for mc in np.geomspace(12.0, 45.0, args.mc_grid):
         for q in np.linspace(0.35, 0.95, args.q_grid):
@@ -66,6 +65,14 @@ def main(argv=None):
                      luminosity_distance=500.0, ra=1.3, dec=-0.2,
                      theta_jn=0.8, psi=0.5, phase=1.0, geocent_time=0.1,
                      a1=0.0, a2=0.0)
+            if len(names) >= 15:
+                # a 15-D flagship is gated on PRECESSING events — probe
+                # the bias with seeded isotropic tilts, moderate spins
+                p.update(a1=0.4, a2=0.2,
+                         tilt_1=float(np.arccos(rng.uniform(-1, 1))),
+                         tilt_2=float(np.arccos(rng.uniform(-1, 1))),
+                         phi_12=float(rng.uniform(0, 2 * np.pi)),
+                         phi_jl=float(rng.uniform(0, 2 * np.pi)))
             # rescale distance to the target SNR (amplitude ∝ 1/d)
             rho = snr_of(p)
             p["luminosity_distance"] = float(np.clip(
@@ -75,7 +82,8 @@ def main(argv=None):
             biases = []
             for twin in range(2):
                 prep = prepare_simulated([p], seed=1000 + twin,
-                                         psd_bands=engine.cfg.npe.psd_bands)
+                                         psd_bands=engine.cfg.npe.psd_bands,
+                                         param_names=names)
                 res = infer(engine, data=prep, n_samples=args.n_samples,
                             seed=twin)
                 med = res.median()
