@@ -86,17 +86,24 @@ def main(argv=None):
             params_list = json.loads(txt)
         else:
             import jax
-            from posteriflow_tpu import PARAM_NAMES
-            from posteriflow_tpu.prior import sample_signal_params
+            from posteriflow_tpu.prior import (PriorConfig,
+                                               sample_signal_params)
+            # draw from the checkpoint's own parameter space (15-D
+            # flagships get precessing injections)
+            names = tuple(engine.cfg.npe.param_names)
+            pcfg = PriorConfig(precessing=len(names) >= 15)
             keys = jax.random.split(jax.random.PRNGKey(args.seed),
                                     args.n_signals)
-            draws = [np.asarray(sample_signal_params(k)) for k in keys]
-            params_list = [dict(zip(PARAM_NAMES, map(float, d)))
+            draws = [np.asarray(sample_signal_params(k, pcfg))
+                     for k in keys]
+            params_list = [dict(zip(names, map(float, d)))
                            for d in draws]
             log.info("injected params: %s",
                      json.dumps(params_list, indent=1))
         prepared = prepare_simulated(params_list, seed=args.seed,
-                                     psd_bands=engine.cfg.npe.psd_bands)
+                                     psd_bands=engine.cfg.npe.psd_bands,
+                                     param_names=tuple(
+                                         engine.cfg.npe.param_names))
     elif args.event:
         from posteriflow_tpu.inference import fetch_gwosc
         strain_by_det, gps = fetch_gwosc(event=args.event)
