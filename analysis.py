@@ -24,6 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 C_BLUE, C_RED, C_GREY = "#4477aa", "#cc3311", "#777777"
+C_GREEN = "#228833"
 
 
 def _mpl():
@@ -176,6 +177,39 @@ def fig_bench(outdir, benches):
     return "bench_history.png"
 
 
+def fig_evidence(outdir, data):
+    """Prior-SMC logZ bias vs rejuvenation walk length against the
+    analytic truth, with the matched-proposal IS point — the committed
+    demonstration of the walk-length volume-bias mechanism
+    (analysis/evidence_validation.json)."""
+    plt = _mpl()
+    syn = data.get("synthetic")
+    if not syn:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    rows = syn["prior_smc_vs_walk_length"]
+    xs = [r["n_mcmc"] for r in rows]
+    ys = [r["bias"] for r in rows]
+    es = [r["logz_std"] for r in rows]
+    ax.errorbar(xs, ys, yerr=es, fmt="o-", color=C_BLUE, capsize=3,
+                label="prior-SMC bias ± σ")
+    isg = syn["is_good_proposal"]
+    ax.errorbar([max(xs) * 1.6], [isg["bias"]], yerr=[isg["logz_std"]],
+                fmt="s", color=C_GREEN, capsize=3,
+                label="matched-proposal IS")
+    ax.axhline(0.0, color=C_GREY, ls=":", lw=1, label="analytic truth")
+    ax.set_xscale("log")
+    ax.set_xlabel("rejuvenation walk length (n_mcmc)")
+    ax.set_ylabel("logZ bias (nats)")
+    ax.set_title("evidence estimators vs analytic logZ "
+                 f"({syn['truth_logz']:.2f})")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(outdir / "evidence_validation.png", dpi=110)
+    plt.close(fig)
+    return "evidence_validation.png"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--outdir", default="figures")
@@ -213,6 +247,13 @@ def main(argv=None):
         (made if p else skipped).append(p or "anchors (empty)")
     else:
         skipped.append("anchors")
+
+    ev = Path("analysis/evidence_validation.json")
+    if ev.exists():
+        p_ = fig_evidence(outdir, json.loads(ev.read_text()))
+        (made if p_ else skipped).append(p_ or "evidence (no synthetic)")
+    else:
+        skipped.append("evidence_validation")
 
     benches = {}
     for b in Path(".").glob("BENCH_r*.json"):
