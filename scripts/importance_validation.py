@@ -67,6 +67,12 @@ def main(argv=None):
 
     log = setup_logging()
     engine = InferenceEngine.from_checkpoint(args.ckpt, args.name)
+    names = tuple(engine.cfg.npe.param_names)
+    from posteriflow_tpu.prior import PriorConfig
+    # the flow-independent cross-check must integrate the SAME parameter
+    # space as the flow-IS evidence (15-D prior for a 15-D flagship) or
+    # the logZ gap compares different model classes
+    prior_cfg = PriorConfig(precessing=len(names) >= 15)
 
     out = {}
     if not args.no_warmup:
@@ -79,7 +85,8 @@ def main(argv=None):
         full0 = {"ra": 1.0, "dec": 0.3, "theta_jn": 0.6, "psi": 0.4,
                  "phase": 1.0, "geocent_time": 0.1, "a1": 0.1, "a2": 0.05,
                  **p0}
-        prep0 = prepare_simulated([full0], seed=args.seed)
+        prep0 = prepare_simulated([full0], seed=args.seed,
+                                  param_names=names)
         res0 = infer(engine, data=prep0, n_samples=args.n_samples,
                      seed=args.seed)
         ctx0 = engine.encode(jnp.asarray(prep0.strain)[None],
@@ -90,7 +97,8 @@ def main(argv=None):
                            seed=args.seed)
         if args.cross_check:
             from posteriflow_tpu.inference.importance import run_smc_prior
-            run_smc_prior(log_l0, seed=args.seed + 99, marginalized=True)
+            run_smc_prior(log_l0, seed=args.seed + 99, marginalized=True,
+                          prior_cfg=prior_cfg)
         from posteriflow_tpu.utils.provenance import artifact_meta
         out["_meta"] = artifact_meta(args.ckpt,
                                      warmup_s=round(time.time() - t0, 1))
@@ -101,7 +109,8 @@ def main(argv=None):
                 "psi": 0.4, "phase": 1.0, "geocent_time": 0.1,
                 "a1": 0.1, "a2": 0.05, **p}
         t0 = time.time()
-        prep = prepare_simulated([full], seed=args.seed + i)
+        prep = prepare_simulated([full], seed=args.seed + i,
+                                 param_names=names)
         res = infer(engine, data=prep, n_samples=args.n_samples,
                     seed=args.seed + i)
         ctx = engine.encode(jnp.asarray(prep.strain)[None],
@@ -135,7 +144,7 @@ def main(argv=None):
             from posteriflow_tpu.inference.importance import run_smc_prior
             t1 = time.time()
             smc = run_smc_prior(log_l, seed=args.seed + 100 + i,
-                                marginalized=True)
+                                marginalized=True, prior_cfg=prior_cfg)
             med_s = np.median(smc.samples[
                 np.random.default_rng(1).choice(
                     len(smc.samples), 2000,
