@@ -177,6 +177,42 @@ def fig_bench(outdir, benches):
     return "bench_history.png"
 
 
+def fig_battery(outdir, report, tag):
+    """Per-parameter 50/90 coverage + SBC KS p from a validate_checkpoint
+    report (reports/val_*/report.json) — the gate evidence, visual."""
+    plt = _mpl()
+    m = report.get("metrics", {})
+    cov50, cov90 = m.get("cov50_all"), m.get("cov90_all")
+    sbc = m.get("sbc_ks_p")
+    if not (cov50 and cov90 and sbc):
+        return None
+    names = list(cov90)
+    x = range(len(names))
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    axes[0].plot(x, [cov50[n] for n in names], "o", color=C_BLUE,
+                 label="cov50")
+    axes[0].plot(x, [cov90[n] for n in names], "s", color=C_GREEN,
+                 label="cov90")
+    for y, d in ((0.5, 0.07), (0.9, 0.05)):
+        axes[0].axhline(y, color=C_GREY, ls=":", lw=1)
+        axes[0].axhspan(y - d, y + d, color=C_GREY, alpha=0.12)
+    axes[0].set_ylabel("empirical coverage")
+    axes[0].legend(ncol=2)
+    axes[1].semilogy(x, [max(sbc[n], 1e-6) for n in names], "o",
+                     color=C_BLUE)
+    axes[1].axhline(1e-3, color=C_RED, ls="--", lw=1, label="gate 1e-3")
+    axes[1].set_ylabel("SBC KS p")
+    axes[1].set_xticks(list(x))
+    axes[1].set_xticklabels(names, rotation=45, ha="right", fontsize=8)
+    axes[1].legend()
+    fig.suptitle(f"validation battery: {tag} "
+                 f"({'PASS' if report.get('passed') else 'FAIL'})")
+    fig.tight_layout()
+    fig.savefig(outdir / f"battery_{tag}.png", dpi=110)
+    plt.close(fig)
+    return f"battery_{tag}.png"
+
+
 def fig_evidence(outdir, data):
     """Prior-SMC logZ bias vs rejuvenation walk length against the
     analytic truth, with the matched-proposal IS point — the committed
@@ -247,6 +283,15 @@ def main(argv=None):
         (made if p else skipped).append(p or "anchors (empty)")
     else:
         skipped.append("anchors")
+
+    vals = sorted(Path("reports").glob("val_*/report.json"))
+    if vals:
+        latest = vals[-1]
+        rep = json.loads(latest.read_text())
+        p_ = fig_battery(outdir, rep, latest.parent.name)
+        (made if p_ else skipped).append(p_ or "battery (no coverage)")
+    else:
+        skipped.append("battery")
 
     ev = Path("analysis/evidence_validation.json")
     if ev.exists():
