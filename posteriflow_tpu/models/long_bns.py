@@ -211,11 +211,19 @@ class LongBNSNPE(nn.Module):
                n_samples: int = 128):
         """tokens [B, L, F] -> physical posterior draws [B, n, 11]
         (wrap-then-denormalize, the LeanNPE sampling convention)."""
+        theta, _ = self.sample_raw(key, tokens, n_samples)
+        return theta
+
+    def sample_raw(self, key: jax.Array, tokens: jnp.ndarray,
+                   n_samples: int = 128):
+        """Like `sample` but also returns the RAW normalized draws y
+        (pre-wrap), for the spurious-railing gate — the LeanNPE
+        sample_from_context convention (validate_checkpoint battery)."""
         pos = sinusoidal_positions(tokens.shape[1], self.encoder.d_model)
         ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
         z = jax.random.normal(key, (ctx.shape[0], n_samples, 11))
         y, _ = self.flow.sample_with_log_prob(z, ctx[:, None, :])
-        return self.scaler.denormalize(self.scaler.wrap(y))
+        return self.scaler.denormalize(self.scaler.wrap(y)), y
 
 
 def make_sharded_nll(mesh: Mesh, seq_len: int, npe: "LongBNSNPE"):

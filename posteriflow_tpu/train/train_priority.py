@@ -206,3 +206,28 @@ def load_priority_net(path: str | Path, d_model: int = 64,
                      snr_est=jnp.ones((1, 2)))
     params = from_bytes(dummy, Path(path).read_bytes())
     return net, params
+
+
+if __name__ == "__main__":
+    # CLI for reproducible PriorityNet runs:
+    #   python -m posteriflow_tpu.train.train_priority --outdir model/priority_v6 \
+    #       --steps 20000 --close-boost 3.0
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--outdir", default="model/priority_v6")
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--close-boost", type=float, default=0.0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-train")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    logging.basicConfig(level=logging.INFO)
+    fit_priority(a.outdir,
+                 PriorityTrainConfig(close_boost=a.close_boost, lr=a.lr),
+                 steps=a.steps, seed=a.seed)

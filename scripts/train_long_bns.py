@@ -42,6 +42,11 @@ def main(argv=None):
                          "this single-chip machine: virtual host devices)")
     ap.add_argument("--prng", default="threefry2x32",
                     choices=["rbg", "threefry2x32"])
+    ap.add_argument("--scan", type=int, default=0,
+                    help="steps per scanned epoch: run N train steps "
+                         "inside ONE jitted lax.scan program (the flagship "
+                         "loop's dispatch fix — per-step host dispatch "
+                         "through the tunneled chip caps at ~7 steps/s)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
@@ -118,8 +123,8 @@ def main(argv=None):
         sharded_loss = make_sharded_nll(mesh, tokens0.shape[1], net)
         log.info("sequence-parallel training on %s", mesh)
 
-    @jax.jit
-    def step(params, opt_state, k):
+    def step_impl(carry, k):
+        params, opt_state = carry
         tokens, theta = batch_fn(k)
 
         def loss_fn(p):
@@ -129,26 +134,54 @@ def main(argv=None):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def step(params, opt_state, k):
+        (params, opt_state), loss = step_impl((params, opt_state), k)
+        return params, opt_state, loss
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_scan(params, opt_state, ekey):
+        def body(c, i):
+            return step_impl(c, jax.random.fold_in(ekey, i))
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jnp.arange(args.scan, dtype=jnp.int32))
+        return params, opt_state, jnp.mean(losses), losses[-1]
+
+    def eval_and_record(step_no, train_nll, t0):
+        kv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7), step_no)
+        tv, thv = jax.jit(batch_fn)(kv)
+        vloss = float(jax.jit(net.apply)(params, tv, thv))
+        rec = {"step": step_no, "train_nll": float(train_nll),
+               "val_nll": vloss, "seconds": round(time.time() - t0, 1)}
+        history.append(rec)
+        log.info("step %5d | train %.3f | val %.3f | %.0fs", step_no,
+                 rec["train_nll"], vloss, rec["seconds"])
+        ckpt.write_bytes(to_bytes(params))
+        (outdir / "history.json").write_text(json.dumps(history, indent=2))
 
     t0 = time.time()
     done = history[-1]["step"] if history else 0
-    for i in range(done, args.steps):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-        if (i + 1) % args.eval_every == 0 or i == 0:
-            kv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7), i)
-            tv, thv = jax.jit(batch_fn)(kv)
-            vloss = float(jax.jit(net.apply)(params, tv, thv))
-            rec = {"step": i + 1, "train_nll": float(loss),
-                   "val_nll": vloss,
-                   "seconds": round(time.time() - t0, 1)}
-            history.append(rec)
-            log.info("step %5d | train %.3f | val %.3f | %.0fs", i + 1,
-                     rec["train_nll"], vloss, rec["seconds"])
-            ckpt.write_bytes(to_bytes(params))
-            (outdir / "history.json").write_text(
-                json.dumps(history, indent=2))
+    if args.scan:
+        # scanned-epoch path: one dispatch per args.scan steps (the
+        # flagship train/loop.py fix — 50k per-step dispatches through
+        # the tunnel would otherwise dominate wall-clock)
+        for e in range(done // args.scan, args.steps // args.scan):
+            params, opt_state, mloss, lloss = epoch_scan(
+                params, opt_state,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), e))
+            eval_and_record((e + 1) * args.scan, float(lloss), t0)
+    else:
+        for i in range(done, args.steps):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k)
+            if (i + 1) % args.eval_every == 0 or i == 0:
+                eval_and_record(i + 1, float(loss), t0)
 
     # ── calibration battery: coverage + SBC ranks over fresh events ──────
     log.info("calibration battery: %d events x %d draws", args.cal_events,
