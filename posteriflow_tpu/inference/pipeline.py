@@ -62,7 +62,10 @@ class InferenceEngine:
         if (Path(ckpt_dir) / "params.msgpack").exists():
             params, cfg, _meta = CheckpointManager.load_release(ckpt_dir)
             ood_path = Path(ckpt_dir) / "ood_stats.npz"
-            from posteriflow_tpu.inference.ood import ContextStats
+            # NOTE: no local ContextStats import here — a function-local
+            # import would shadow the module-level name for the WHOLE
+            # function scope and leave the training-checkpoint branch
+            # below with an UnboundLocalError
             stats = (ContextStats.load(ood_path) if ood_path.exists()
                      else None)
             bias_map = (load_bias_map(Path(ckpt_dir) / "twin_grid.json")

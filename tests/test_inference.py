@@ -55,6 +55,22 @@ def test_prepare_simulated_truth_roundtrip():
     assert 0.8 < np.std(prep.strain) < 2.5
 
 
+def test_from_checkpoint_with_armed_ood(tmp_path):
+    """Regression: a CheckpointManager dir that SHIPS ood_stats.npz must
+    load with the stats armed — a function-local ContextStats import in
+    the release branch used to shadow the module-level name and raise
+    UnboundLocalError exactly when ood_stats.npz existed (the production
+    layout validate_checkpoint writes)."""
+    state = init_state(jax.random.PRNGKey(0), TINY)
+    cm = CheckpointManager(tmp_path)
+    cm.save("best", state, TINY, {"val_nll": 0.0}, epoch=1)
+    stats = fit_context_stats(np.random.default_rng(0)
+                              .normal(size=(64, 32)).astype(np.float32))
+    stats.save(tmp_path / "ood_stats.npz")
+    eng = InferenceEngine.from_checkpoint(tmp_path, "best")
+    assert eng.ood_stats is not None
+
+
 def test_infer_end_to_end(engine):
     res = infer(engine, inject=[BBH], n_samples=256, seed=0)
     assert res.samples.shape == (256, 11)
