@@ -80,6 +80,9 @@ def main():
         "value": round(rate, 1),
         "unit": "draws/s",
         "vs_baseline": round(rate / BASELINE_DRAWS_PER_SEC, 1),
+        "model": f"{len(cfg.npe.param_names)}-D flagship "
+                 "(r1-r3 benched the 11-D model; 15-D costs ~27% "
+                 "in draw rate)",
     }))
 
 
