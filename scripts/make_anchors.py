@@ -38,6 +38,12 @@ _BASE = dict(ra=1.7, dec=-0.8, theta_jn=0.9, psi=0.6, phase=2.1,
              geocent_time=0.1, a1=0.2, a2=0.1)
 
 
+def _seed_of(name: str) -> int:
+    """Deterministic per-anchor seed (process-independent, unlike hash())."""
+    import zlib
+    return zlib.crc32(name.encode()) % 2 ** 16
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", default="model/npe_r2")
@@ -91,14 +97,17 @@ def main(argv=None):
             # per-anchor angles) so the sampler and flow face the
             # production parameter space
             import numpy as _np
-            rng_a = _np.random.default_rng(hash(name) % 2 ** 16)
+
+            # crc32, not hash(): str hash is salted per process, which
+            # made the recorded injections irreproducible across runs
+            rng_a = _np.random.default_rng(_seed_of(name))
             params.update(
                 a1=0.5, a2=0.2,
                 tilt_1=float(_np.arccos(rng_a.uniform(-1, 1))),
                 tilt_2=float(_np.arccos(rng_a.uniform(-1, 1))),
                 phi_12=float(rng_a.uniform(0, 2 * _np.pi)),
                 phi_jl=float(rng_a.uniform(0, 2 * _np.pi)))
-        prepared = prepare_simulated([params], seed=hash(name) % 2 ** 16,
+        prepared = prepare_simulated([params], seed=_seed_of(name),
                                      psd_bands=engine.cfg.npe.psd_bands,
                                      param_names=names)
         t0 = time.time()
