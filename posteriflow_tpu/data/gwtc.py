@@ -5,8 +5,9 @@ Reference surface (src/ahsd/data/gwtc_loader.py GWTCLoader, 828 LoC):
 GWOSC-API catalog with caching and a hardcoded fallback, event-name -> GPS
 lookup used by inference, strain download, synthetic overlap scenarios from
 the real catalog. This environment is zero-egress, so the built-in table
-(published GWTC-1/2 values) is the primary path and the network paths are
-gated on gwpy/requests availability.
+(published GWTC-1/2/2.1/3 medians + GWTC-4 exceptional events, ~90 events)
+is the primary path and the network paths are gated on gwpy/requests
+availability.
 """
 
 from __future__ import annotations
@@ -103,6 +104,47 @@ _EXTENDED = {
     "GW200225_060421": (19.3, 14.0, 1150.0, "GWTC-3", None),
     "GW200311_115853": (34.2, 27.7, 1170.0, "GWTC-3", None),
     "GW200316_215756": (13.1, 7.8, 1120.0, "GWTC-3", None),
+    # ── GWTC-2.1 deep-catalog completion (arXiv 2108.01045) ──────────────
+    # Approximate medians (±~20%); the gated GWOSC API refines these when
+    # network exists (reference fallback-table pattern, gwtc_loader.py).
+    "GW190403_051519": (85.0, 20.0, 8000.0, "GWTC-2.1", None),
+    "GW190413_052954": (34.7, 23.7, 3550.0, "GWTC-2.1", None),
+    "GW190413_134308": (47.5, 31.8, 4450.0, "GWTC-2.1", None),
+    "GW190421_213856": (41.3, 31.9, 2880.0, "GWTC-2.1", None),
+    "GW190426_152155": (5.7, 1.5, 370.0, "GWTC-2.1", "NSBH"),
+    "GW190514_065416": (39.0, 28.4, 4500.0, "GWTC-2.1", None),
+    "GW190527_092055": (36.5, 22.6, 2500.0, "GWTC-2.1", None),
+    "GW190620_030421": (57.1, 35.5, 2800.0, "GWTC-2.1", None),
+    "GW190701_203306": (53.9, 40.8, 2060.0, "GWTC-2.1", None),
+    "GW190719_215514": (36.5, 20.8, 3900.0, "GWTC-2.1", None),
+    "GW190725_174728": (11.5, 6.4, 1000.0, "GWTC-2.1", None),
+    "GW190731_140936": (41.5, 28.8, 3300.0, "GWTC-2.1", None),
+    "GW190803_022701": (37.3, 27.3, 3270.0, "GWTC-2.1", None),
+    "GW190805_211137": (48.2, 32.0, 6000.0, "GWTC-2.1", None),
+    "GW190910_112807": (43.9, 35.6, 1460.0, "GWTC-2.1", None),
+    "GW190925_232845": (20.8, 15.6, 930.0, "GWTC-2.1", None),
+    "GW190929_012149": (80.8, 24.1, 3800.0, "GWTC-2.1", None),
+    "GW190930_133541": (12.3, 7.8, 760.0, "GWTC-2.1", None),
+    # ── GWTC-3 deep-catalog completion (arXiv 2111.03606) ────────────────
+    "GW191103_012549": (11.8, 7.9, 990.0, "GWTC-3", None),
+    "GW191105_143521": (10.7, 7.7, 1150.0, "GWTC-3", None),
+    "GW191113_071753": (29.0, 5.9, 1370.0, "GWTC-3", None),
+    "GW191126_115259": (12.1, 8.3, 1620.0, "GWTC-3", None),
+    "GW191127_050227": (53.0, 24.0, 3400.0, "GWTC-3", None),
+    "GW191215_223052": (24.9, 18.1, 1930.0, "GWTC-3", None),
+    "GW191219_163120": (31.1, 1.17, 550.0, "GWTC-3", "NSBH"),
+    "GW191230_180458": (49.4, 37.0, 4300.0, "GWTC-3", None),
+    "GW200128_022011": (42.2, 32.6, 3400.0, "GWTC-3", None),
+    "GW200208_130117": (37.8, 27.4, 2230.0, "GWTC-3", None),
+    "GW200209_085452": (35.6, 27.1, 3400.0, "GWTC-3", None),
+    "GW200210_092254": (24.1, 2.83, 940.0, "GWTC-3", "NSBH"),
+    "GW200216_220804": (51.0, 30.0, 3800.0, "GWTC-3", None),
+    "GW200219_094415": (37.5, 27.9, 3400.0, "GWTC-3", None),
+    "GW200220_061928": (87.0, 61.0, 6000.0, "GWTC-3", None),
+    "GW200220_124850": (38.9, 27.9, 4000.0, "GWTC-3", None),
+    "GW200306_093714": (28.3, 14.8, 2100.0, "GWTC-3", None),
+    "GW200308_173609": (36.4, 13.8, 5400.0, "GWTC-3", None),
+    "GW200322_091133": (34.0, 14.0, 3600.0, "GWTC-3", None),
     # ── GWTC-4 (O4a) ─────────────────────────────────────────────────────
     # Published exceptional-event medians (GW230529: arXiv 2404.04248 —
     # mass-gap primary + NS; GW231123: the ~massive BBH). Any other
