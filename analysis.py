@@ -246,6 +246,38 @@ def fig_evidence(outdir, data):
     return "evidence_validation.png"
 
 
+def fig_anchor_convergence(outdir, data):
+    """Nested-sampler logZ vs effort on the asym_q anchor outlier against
+    the same-data flow-IS value (analysis/anchor_convergence.json):
+    volume bias predicts logZ climbing toward IS as nlive/walks grow."""
+    plt = _mpl()
+    runs = data.get("runs")
+    if not runs:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    xs = [r["n_like_calls"] for r in runs]
+    ys = [r["logz"] for r in runs]
+    ax.plot(xs, ys, "o-", color=C_BLUE, label="fallback nested sampler")
+    for r, x, y in zip(runs, xs, ys):
+        ax.annotate(f"{r['nlive']}x{r['walks']}", (x, y), fontsize=7,
+                    xytext=(4, -10), textcoords="offset points")
+    is_b = data["is"]
+    err = 1.0 / max(is_b["ess"], 1.0) ** 0.5
+    ax.axhline(is_b["logz"], color=C_GREEN, ls="--", lw=1.2,
+               label=f"flow-IS (eff {100 * is_b['efficiency']:.0f}%)")
+    ax.axhspan(is_b["logz"] - err, is_b["logz"] + err, color=C_GREEN,
+               alpha=0.15, lw=0)
+    ax.set_xscale("log")
+    ax.set_xlabel("likelihood calls (nlive x walks ladder)")
+    ax.set_ylabel("logZ (vs noise)")
+    ax.set_title("asym_q anchor: sampler logZ convergence toward flow-IS")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(outdir / "anchor_convergence.png", dpi=110)
+    plt.close(fig)
+    return "anchor_convergence.png"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--outdir", default="figures")
@@ -292,6 +324,13 @@ def main(argv=None):
         (made if p_ else skipped).append(p_ or "battery (no coverage)")
     else:
         skipped.append("battery")
+
+    ac = Path("analysis/anchor_convergence.json")
+    if ac.exists():
+        p_ = fig_anchor_convergence(outdir, json.loads(ac.read_text()))
+        (made if p_ else skipped).append(p_ or "anchor_convergence (empty)")
+    else:
+        skipped.append("anchor_convergence")
 
     ev = Path("analysis/evidence_validation.json")
     if ev.exists():
