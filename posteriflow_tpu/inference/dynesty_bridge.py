@@ -145,6 +145,10 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
     target); the live-set covariance refreshes every iteration from the
     survivors, so the proposal ellipsoid tracks the shrinking
     constrained region."""
+    # batch << nlive keeps the shared-constraint and volume-bookkeeping
+    # approximations honest (ADVICE r4: nothing enforced it when callers
+    # passed small nlive against the default batch=24)
+    batch = max(1, min(batch, nlive // 16))
     rng = np.random.default_rng(seed)
     u = rng.uniform(size=(nlive, ndim))
     theta = prior_transform(u)
@@ -154,6 +158,7 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
     dead_theta, dead_ll, logvol = [], [], []
     vol = 0.0
     n_calls = nlive
+    n_stuck = 0
     scale = 0.5
 
     def _reflect(x):
@@ -184,6 +189,7 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
         t_cur = theta[start].copy()
         ll_cur = ll[start].copy()
         acc_count = 0
+        moved = np.zeros(batch, bool)
         for _ in range(walks):
             step = rng.standard_normal((batch, ndim)) @ chol.T
             u_new = _reflect(u_cur + scale * step)
@@ -194,7 +200,12 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
             u_cur[ok], t_cur[ok], ll_cur[ok] = u_new[ok], t_new[ok], \
                 ll_new[ok]
             acc_count += int(ok.sum())
+            moved |= ok
         u[kill], theta[kill], ll[kill] = u_cur, t_cur, ll_cur
+        # a zero-acceptance chain re-inserts an exact duplicate of a
+        # surviving live point — count them so a stalled plateau is
+        # visible in the artifact (ADVICE r4)
+        n_stuck += int((~moved).sum())
         # adapt toward ~50% per-step walk acceptance (dynesty rwalk)
         acc = acc_count / (walks * batch)
         scale = float(np.clip(scale * np.exp(0.5 * (acc - 0.5)),
@@ -215,7 +226,8 @@ def _nested_fallback(log_l, nlive, dlogz, seed, maxiter,
     return {"samples": dead_theta, "weights": w / w.sum(),
             "logz": float(np.log(np.sum(w)) + logwt.max()),
             "sampler": "fallback-nested", "n_like_calls": n_calls,
-            "walks": walks, "final_scale": scale}
+            "walks": walks, "final_scale": scale, "batch": batch,
+            "n_stuck_chains": n_stuck}
 
 
 def run_comparison(engine, prepared, n_samples: int = 2000,

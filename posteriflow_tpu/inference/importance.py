@@ -616,7 +616,7 @@ def _reassemble_jnp(x: jnp.ndarray, cur: jnp.ndarray,
 
 def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
                      ll_device_args, marg: bool, n_mcmc: int = 5,
-                     g0: str = "flow"):
+                     g0: str = "flow", prior_cfg=None):
     """ONE jitted program for a full SMC rejuvenation sweep: lax.scan over
     n_mcmc random-walk Metropolis steps, each evaluating likelihood + prior
     + the anchor density g0 on-device. Replaces ~3·n_mcmc separate
@@ -634,11 +634,18 @@ def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
     keep every density in the host's 11-D-proper convention by adding it
     to the raw flow density. (Zero in prior mode.)
     """
+    # the device-side densities must walk the SAME prior as the
+    # host-side tempering weights (ADVICE r4: a caller-supplied prior_cfg
+    # only reached the host path)
+    if prior_cfg is None:
+        from posteriflow_tpu.prior import PriorConfig
+        prior_cfg = PriorConfig()
+    _lp_vec = jax.vmap(lambda t: log_prior_bbh(t, prior_cfg))
     if g0 == "prior":
         context = jnp.zeros(1, jnp.float32)      # unused placeholder
 
         def _lg0_raw(thp, ctx):
-            return jax.vmap(log_prior_bbh)(thp)
+            return _lp_vec(thp)
     else:
         model, scaler, params = engine.model, engine.scaler, engine.params
 
@@ -666,7 +673,7 @@ def _make_fused_move(engine, context: jnp.ndarray, rank: int, ll_core,
             xp = x + jax.random.normal(k1, x.shape) @ chol.T
             thp = _reassemble_jnp(xp, cur, marg)
             llp = ll_core(thp, *ll_dev)
-            lpp = jax.vmap(log_prior_bbh)(thp)
+            lpp = _lp_vec(thp)
             lg0p = _lg0_raw(thp, ctx) + corr
             jacp = jnp.sum(jnp.log(jnp.maximum(thp[:, :3], 1e-10)), axis=1)
             ltp = beta * (llp + lpp) + (1.0 - beta) * lg0p + jacp
@@ -735,7 +742,7 @@ def run_smc_prior(log_l_fn: Callable, n: int = 4096, seed: int = 0,
     if ll_core is not None and ll_device_args is not None:
         move_fn = _make_fused_move(None, None, 0, ll_core, ll_device_args,
                                    marg=marginalized, g0="prior",
-                                   n_mcmc=n_mcmc)
+                                   n_mcmc=n_mcmc, prior_cfg=prior_cfg)
     return _tempered_is(theta, lp.copy(), ll, lp, log_l_fn, log_prior_fn,
                         ladder_target_frac=ladder_target_frac,
                         max_stages=max_stages, marginalized=marginalized,

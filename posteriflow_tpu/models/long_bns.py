@@ -63,6 +63,146 @@ def multiband_tokens(h_white_fd: jnp.ndarray, freqs: np.ndarray,
     return jnp.concatenate([tok.real, tok.imag], axis=-1)
 
 
+def _tau_0pn(freqs: np.ndarray, mc: float) -> np.ndarray:
+    """Newtonian time-to-merger [s] at GW frequency f for chirp mass mc."""
+    from posteriflow_tpu.physics.constants import MTSUN_SI
+    return (5.0 / 256.0 * (np.pi * freqs) ** (-8.0 / 3.0)
+            * (MTSUN_SI * mc) ** (-5.0 / 3.0))
+
+
+def build_chirp_token_grid(duration: float = 64.0, f_lo: float = 20.0,
+                           f_hi: float = 512.0, m_lo: float = 1.0,
+                           m_hi: float = 2.5, t_off_max: float = 1.5,
+                           alpha: float = 2.0, pad_multiple: int = 64):
+    """Host-side construction of the CHIRP-ADAPTED HETERODYNED token grid
+    (the v3 long-BNS front-end).
+
+    Why: plain mean-pooling of whitened FD bins (multiband_tokens above)
+    destroys the signal — the epoch factor e^{-2πif·duration/2} alone
+    rotates 2π every 2 bins at Δf=1/64 Hz, and the chirp phase adds
+    2π·t(f) rad/Hz on top (t(20 Hz) up to ~280 s over the BNS prior).
+    Measured: only ~13% of SNR² survives v1 pooling, and the surviving
+    projection oscillates unlearnably in (Mc, t_c) — the v2 model trained
+    to shuffle-ΔNLL 0.037 (it ignored the strain).
+
+    Fix, standard GW practice (relative binning / multibanding adapted to
+    an EMBEDDING): multiply the data by a fiducial conjugate phase (the
+    TaylorF2 phase at the prior's t(f)-midpoint chirp mass, plus the
+    known duration/2 epoch shift), then pool with VARIABLE widths sized
+    so the worst-case residual intra-pool phase spread over the whole
+    (Mc, t_off) prior stays ≤ alpha rad (attenuation ≥ sinc(alpha/2),
+    0.84 at the default). Where that demands sub-native widths the pool
+    is a single raw bin (exact). Token count ≈ (2π/α)·∫(Δt_max(f))df —
+    the time-frequency area of the prior support, ~4.8k for the 64 s /
+    [1, 2.5] M☉ / ±1.5 s configuration.
+
+    Returns a dict of static numpy arrays consumed by `chirp_tokens`;
+    everything here is a pure function of the (hashable) scalar config,
+    so validators can rebuild the identical grid from calibration.json.
+    """
+    import jax as _jax
+    from posteriflow_tpu.physics.constants import SAMPLE_RATE
+    from posteriflow_tpu.physics.waveforms.taylorf2 import taylorf2_amp_phase
+
+    n = int(duration * SAMPLE_RATE)
+    freqs = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
+    cut = int(np.searchsorted(freqs, f_hi)) + 1
+    freqs = freqs[:cut]
+    i_lo = int(np.searchsorted(freqs, f_lo))
+    fb = freqs[i_lo:]                              # banded bins [n_used]
+    df = float(freqs[1] - freqs[0])
+
+    # equal-mass chirp masses at the prior corners; fiducial at the
+    # t(f)-midpoint (exact at every f: all tau scale as mc^{-5/3}·f^{-8/3})
+    eqm = 2.0 * 0.25 ** 0.6
+    mc_lo, mc_hi = eqm * m_lo, eqm * m_hi
+    a_mid = 0.5 * (mc_lo ** (-5.0 / 3.0) + mc_hi ** (-5.0 / 3.0))
+    mc_fid = float(a_mid ** (-0.6))
+    m_fid = mc_fid / eqm
+
+    dt_chirp = 0.5 * (_tau_0pn(fb, mc_lo) - _tau_0pn(fb, mc_hi))
+    spread = 2.0 * np.pi * (dt_chirp + t_off_max) * df   # rad per bin
+
+    # greedy contiguous segmentation: close a pool when adding the next
+    # bin would push the accumulated spread past alpha (a 1-bin pool is
+    # exact no matter the local spread)
+    seg = np.zeros(len(fb), np.int32)
+    s, acc = 0, 0.0
+    for j in range(len(fb)):
+        if acc > 0.0 and acc + spread[j] > alpha:
+            s += 1
+            acc = 0.0
+        seg[j] = s
+        acc += spread[j]
+    n_tok = s + 1
+    L = int(math.ceil(n_tok / pad_multiple) * pad_multiple)
+
+    counts = np.bincount(seg, minlength=L).astype(np.float64)
+    counts = np.maximum(counts, 1.0)               # pad tokens: benign
+    ends = np.cumsum(np.bincount(seg, minlength=L)).astype(np.int32)
+    starts = np.concatenate([[0], ends[:-1]]).astype(np.int32)
+
+    # fiducial heterodyne: conj of the TaylorF2 phase convention
+    # h ∝ e^{-iΨ} times the projection epoch e^{-2πif·duration/2}
+    # (projection.py:44 — tau = duration/2 + t_off + dt; we remove the
+    # known duration/2 part). Evaluated on the CPU backend: one small
+    # jitted program, never touching the (tunneled) accelerator.
+    cpu = _jax.local_devices(backend="cpu")[0]
+    with _jax.default_device(cpu):
+        psi = np.asarray(_jax.jit(
+            lambda f: taylorf2_amp_phase(f, m_fid, m_fid, 0.0, 0.0,
+                                         100.0, 0.0)[1])(
+            jnp.asarray(fb, jnp.float32)), dtype=np.float64)
+    epoch_cyc = np.mod(fb * (duration / 2.0), 1.0)  # float64 mod-1 cycles
+    het = np.exp(1j * (psi + 2.0 * np.pi * epoch_cyc)).astype(np.complex64)
+
+    # static per-token features: band-center frequency (log-scaled to
+    # [0,1]) and log2 pool width — cheap conditioning for the embed layer
+    f_cen = np.zeros(L)
+    f_cen[:n_tok] = [fb[starts[t]:ends[t]].mean() if ends[t] > starts[t]
+                     else f_lo for t in range(n_tok)]
+    f_cen = np.maximum(f_cen, f_lo)
+    feat = np.stack([np.log(f_cen / f_lo) / np.log(f_hi / f_lo),
+                     np.log2(counts) / 10.0], axis=-1)
+
+    return {
+        "freqs": freqs, "i_lo": i_lo, "cut": cut, "L": L, "n_tok": n_tok,
+        "starts": starts, "ends": ends,
+        "counts": counts.astype(np.float32),
+        "het": het, "feat": feat.astype(np.float32),
+        "mc_fid": mc_fid, "m_fid": m_fid, "duration": duration,
+        "config": {"kind": "chirp", "duration": duration, "f_lo": f_lo,
+                   "f_hi": f_hi, "m_lo": m_lo, "m_hi": m_hi,
+                   "t_off_max": t_off_max, "alpha": alpha,
+                   "pad_multiple": pad_multiple},
+    }
+
+
+def chirp_tokens(h_w: jnp.ndarray, grid: dict) -> jnp.ndarray:
+    """Whitened FD strain [n_det, F_cut] -> chirp-adapted tokens [L, 3D+2].
+
+    Heterodynes by the fiducial phase, then pools each variable-width
+    contiguous segment via cumulative sums (cumsum + boundary gather — no
+    TPU scatter). Channels per token: Re/Im of the pooled heterodyned
+    strain normalized to unit noise variance (coherent, per detector) and
+    the excess energy (incoherent, per detector), plus 2 static features.
+    """
+    x = h_w[:, grid["i_lo"]:] * jnp.asarray(grid["het"])[None, :]
+    cols = jnp.concatenate([x.real, x.imag,
+                            x.real ** 2 + x.imag ** 2], axis=0)  # [3D, n]
+    cs = jnp.cumsum(cols, axis=1)                        # [3D, n]
+    cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+    seg = (cs[:, jnp.asarray(grid["ends"])]
+           - cs[:, jnp.asarray(grid["starts"])])         # [3D, L]
+    seg = jnp.moveaxis(seg, 0, 1)                        # [L, 3D]
+    d = h_w.shape[0]
+    k = jnp.asarray(grid["counts"])[:, None]
+    coh = seg[:, : 2 * d] / jnp.sqrt(2.0 * k)            # unit noise var
+    energy = (seg[:, 2 * d:] - 2.0 * k) / (2.0 * jnp.sqrt(k))
+    return jnp.concatenate([coh, energy, jnp.asarray(grid["feat"])],
+                           axis=-1)
+
+
 class SeqParallelAttention(nn.Module):
     """Exact multi-head attention with the sequence sharded over `axis`.
 
@@ -97,11 +237,17 @@ class LongBNSEncoder(nn.Module):
     n_layers: int = 4
     n_heads: int = 8
     context_dim: int = 256
+    patch: int = 1
     seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
                  positions: jnp.ndarray) -> jnp.ndarray:
+        if self.patch > 1:
+            # non-overlapping patch embedding: exactly shardable (no halo)
+            # — each shard reshapes its own l_loc (divisible by patch)
+            lt, ft = tokens.shape
+            tokens = tokens.reshape(lt // self.patch, self.patch * ft)
         h = nn.Dense(self.d_model, name="embed")(tokens)
         h = h + positions
         for i in range(self.n_layers):
@@ -179,6 +325,49 @@ def simulate_long_bns_batch(key: jax.Array, batch: int,
     return jax.vmap(one)(jax.random.split(key, batch))
 
 
+def simulate_long_bns_batch_v3(key: jax.Array, batch: int, grid: dict):
+    """Long-BNS training batch with the v3 chirp-adapted heterodyned
+    front-end (build_chirp_token_grid). Same waveform/noise model as
+    simulate_long_bns_batch; only the tokenization differs.
+
+    Returns (tokens [B, L, 3·n_det+2], theta [B, 11] physical)."""
+    from posteriflow_tpu.physics.psd import default_network_psd
+    from posteriflow_tpu.physics.projection import project_to_network
+    from posteriflow_tpu.physics.waveforms.taylorf2 import \
+        taylorf2_polarizations
+    from posteriflow_tpu.physics.waveforms.tidal import matter_effects
+    from posteriflow_tpu.physics.whiten import whiten_fd
+    from posteriflow_tpu.prior import PriorConfig, sample_signal_params
+
+    freqs_np = grid["freqs"]
+    duration = grid["duration"]
+    freqs = jnp.asarray(freqs_np, dtype=jnp.float32)
+    psd = default_network_psd(freqs_np)
+    asd = jnp.asarray(np.sqrt(psd) * 1e23, dtype=jnp.float32)
+    delta_f = 1.0 / duration
+
+    bns_prior = PriorConfig(type_probs=(0.0, 1.0, 0.0))
+
+    def one(k):
+        k_t, k_n = jax.random.split(k)
+        theta = sample_signal_params(k_t, bns_prior)
+        (m1, m2, d, ra, dec, tj, psi_a, ph, t_off, a1, a2) = theta
+        hp, hc = taylorf2_polarizations(freqs, m1, m2, a1, a2, d, tj, ph)
+        psi_t, taper = matter_effects(freqs, m1, m2)
+        fac = (taper * jnp.exp(-1j * psi_t.astype(jnp.float32))
+               ).astype(jnp.complex64)
+        hp, hc = hp * fac, hc * fac
+        h_det = project_to_network(freqs, hp, hc, ra, dec, psi_a, t_off,
+                                   duration=duration)
+        h_w = whiten_fd(h_det, asd, delta_f)
+        kr, ki = jax.random.split(k_n)
+        noise = (jax.random.normal(kr, h_w.shape)
+                 + 1j * jax.random.normal(ki, h_w.shape))
+        return chirp_tokens(h_w + noise, grid), theta
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
 class LongBNSNPE(nn.Module):
     """Multiband front-end + (optionally sequence-parallel) transformer +
     the framework's coupling flow — the configs[3] model assembly."""
@@ -201,7 +390,7 @@ class LongBNSNPE(nn.Module):
 
     def __call__(self, tokens: jnp.ndarray, theta: jnp.ndarray):
         """tokens [B, L, F]; theta [B, 11] physical -> mean NLL."""
-        pos = sinusoidal_positions(tokens.shape[1],
+        pos = sinusoidal_positions(tokens.shape[1] // self.encoder.patch,
                                    self.encoder.d_model)
         ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
         y = self.scaler.normalize(theta)
@@ -219,7 +408,8 @@ class LongBNSNPE(nn.Module):
         """Like `sample` but also returns the RAW normalized draws y
         (pre-wrap), for the spurious-railing gate — the LeanNPE
         sample_from_context convention (validate_checkpoint battery)."""
-        pos = sinusoidal_positions(tokens.shape[1], self.encoder.d_model)
+        pos = sinusoidal_positions(tokens.shape[1] // self.encoder.patch,
+                                   self.encoder.d_model)
         ctx = jax.vmap(lambda t: self.encoder(t, pos))(tokens)
         z = jax.random.normal(key, (ctx.shape[0], n_samples, 11))
         y, _ = self.flow.sample_with_log_prob(z, ctx[:, None, :])
@@ -270,20 +460,24 @@ def make_sharded_encoder(mesh: Mesh, seq_len: int, n_feat: int,
     cfg = cfg or {}
     module = LongBNSEncoder(seq_axis="model", **cfg)
     ref_module = LongBNSEncoder(seq_axis=None, **cfg)
-    pos = sinusoidal_positions(seq_len, module.d_model)
+    patch = module.patch
+    pos = sinusoidal_positions(seq_len // patch, module.d_model)
 
     def init_fn(key, tokens_local):
         return ref_module.init(key, tokens_local,
-                               pos[: tokens_local.shape[0]])
+                               pos[: tokens_local.shape[0] // patch])
 
     n_shards = mesh.shape["model"]
     l_loc = seq_len // n_shards
+    if l_loc % patch:
+        raise ValueError(f"seq_len/n_shards={l_loc} not divisible by "
+                         f"patch={patch}")
 
     def one_event(params, tokens_loc):
-        # positions for THIS shard's slice of the sequence
+        # positions for THIS shard's slice of the (patched) sequence
         idx = jax.lax.axis_index("model")
-        pos_loc = jax.lax.dynamic_slice(pos, (idx * l_loc, 0),
-                                        (l_loc, pos.shape[1]))
+        pos_loc = jax.lax.dynamic_slice(pos, (idx * (l_loc // patch), 0),
+                                        (l_loc // patch, pos.shape[1]))
         return module.apply(params, tokens_loc, pos_loc)
 
     @partial(jax.shard_map, mesh=mesh,
@@ -300,6 +494,6 @@ def make_sharded_encoder(mesh: Mesh, seq_len: int, n_feat: int,
 
     def apply_unsharded(params, tokens):
         return jax.vmap(lambda t: ref_module.apply(
-            params, t, pos[: tokens.shape[1]]))(tokens)
+            params, t, pos[: tokens.shape[1] // patch]))(tokens)
 
     return init_fn, apply_fn, apply_unsharded

@@ -62,7 +62,17 @@ def spin_components(a1, a2, tilt_1, tilt_2, phi_12, mass_1, mass_2):
     sum of the in-plane spins at the reference frequency) instead of exactly
     degenerate — matching the physical situation better than the max() form
     while staying branchless. The reference never exercises any of this
-    (tilts pinned to 0: src/ahsd/data/bilby_pipeline.py:63-65)."""
+    (tilts pinned to 0: src/ahsd/data/bilby_pipeline.py:63-65).
+
+    DELIBERATE DEPARTURE from the Hannam et al. max() form: in the
+    both-spins-precessing corner (a1≈a2 large, tilts≈π/2, phi_12≈0, q≈1)
+    the resultant exceeds 1 — up to (B1+B2)/B1 ≈ 2 at q=1 — where max()
+    would clip at a1. The >1 value is intentional: it feeds
+    precession_angles as an EFFECTIVE in-plane spin whose larger opening
+    angle encodes that both spins precess coherently; the kernel stays
+    finite there and training/inference use the identical map (the NPE
+    self-consistency contract). Pinned by
+    tests/test_precessing15.py::test_chi_p_resultant_regime."""
     chi_1z = a1 * jnp.cos(tilt_1)
     chi_2z = a2 * jnp.cos(tilt_2)
     q = mass_2 / mass_1                           # ≤ 1 by mass ordering

@@ -80,7 +80,18 @@ def main(argv=None):
               "nlive": args.nlive, "sampler": args.sampler, "anchors": {},
               "_meta": artifact_meta(args.ckpt)}
     if out_path.exists():                      # resume across invocations
-        report = json.loads(out_path.read_text())
+        # merge ONLY the finished anchors; keep the fresh _meta for the
+        # CURRENT --ckpt, and refuse to mix anchors from a different model
+        # under its provenance (ADVICE r4)
+        prev = json.loads(out_path.read_text())
+        prev_hash = (prev.get("_meta") or {}).get("config_hash")
+        if prev_hash and prev_hash != report["_meta"]["config_hash"]:
+            raise SystemExit(
+                f"{out_path} was generated from config_hash {prev_hash}, "
+                f"current --ckpt hashes {report['_meta']['config_hash']}: "
+                "refusing to mix anchors across models (delete the file "
+                "or pass a matching --ckpt)")
+        report["anchors"] = prev.get("anchors", {})
 
     for spec in ANCHORS:
         name = spec["name"]

@@ -26,8 +26,19 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--duration", type=float, default=64.0)
+    ap.add_argument("--tokens", default="v3", choices=["v1", "v3"],
+                    help="front-end: v1 = legacy geomspaced mean-pool "
+                         "(conditioning-dead: pooling destroys the chirp "
+                         "phase, see build_chirp_token_grid docstring); "
+                         "v3 = chirp-adapted heterodyned pooling")
     ap.add_argument("--n-bands", type=int, default=64)
     ap.add_argument("--per-band", type=int, default=32)
+    ap.add_argument("--alpha", type=float, default=2.0,
+                    help="v3: max intra-pool phase spread [rad]")
+    ap.add_argument("--f-hi", type=float, default=512.0)
+    ap.add_argument("--patch", type=int, default=4,
+                    help="v3: non-overlapping patch size for the embed")
+    ap.add_argument("--n-heads", type=int, default=8)
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--n-layers", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
@@ -76,21 +87,36 @@ def main(argv=None):
 
     from posteriflow_tpu import PARAM_NAMES
     from posteriflow_tpu.models.long_bns import (LongBNSNPE,
-                                                 simulate_long_bns_batch)
+                                                 build_chirp_token_grid,
+                                                 simulate_long_bns_batch,
+                                                 simulate_long_bns_batch_v3)
     from posteriflow_tpu.utils.logging import setup_logging
 
     log = setup_logging()
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    enc_cfg = dict(d_model=args.d_model, n_layers=args.n_layers)
-    net = LongBNSNPE(enc=enc_cfg)
+    if args.tokens == "v3":
+        grid = build_chirp_token_grid(duration=args.duration,
+                                      f_hi=args.f_hi, alpha=args.alpha)
+        tok_cfg = grid["config"]
+        enc_cfg = dict(d_model=args.d_model, n_layers=args.n_layers,
+                       n_heads=args.n_heads, patch=args.patch)
 
-    def batch_fn(k):
-        return simulate_long_bns_batch(k, args.batch,
-                                       duration=args.duration,
-                                       n_bands=args.n_bands,
-                                       per_band=args.per_band)
+        def batch_fn(k):
+            return simulate_long_bns_batch_v3(k, args.batch, grid)
+    else:
+        tok_cfg = {"kind": "v1", "n_bands": args.n_bands,
+                   "per_band": args.per_band}
+        enc_cfg = dict(d_model=args.d_model, n_layers=args.n_layers)
+
+        def batch_fn(k):
+            return simulate_long_bns_batch(k, args.batch,
+                                           duration=args.duration,
+                                           n_bands=args.n_bands,
+                                           per_band=args.per_band)
+
+    net = LongBNSNPE(enc=enc_cfg)
 
     key = jax.random.PRNGKey(args.seed)
     tokens0, theta0 = jax.jit(batch_fn)(key)
@@ -153,15 +179,24 @@ def main(argv=None):
             jnp.arange(args.scan, dtype=jnp.int32))
         return params, opt_state, jnp.mean(losses), losses[-1]
 
+    @jax.jit
+    def val_metrics(params, kv):
+        tv, thv = batch_fn(kv)
+        vloss = net.apply(params, tv, thv)
+        # context-shuffle delta: the conditioning signal the v2 failure
+        # (shuffle_delta 0.037 after 50k steps) made a first-class metric
+        vshuf = net.apply(params, tv, jnp.roll(thv, 1, axis=0))
+        return vloss, vshuf - vloss
+
     def eval_and_record(step_no, train_nll, t0):
         kv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7), step_no)
-        tv, thv = jax.jit(batch_fn)(kv)
-        vloss = float(jax.jit(net.apply)(params, tv, thv))
+        vloss, dshuf = (float(x) for x in val_metrics(params, kv))
         rec = {"step": step_no, "train_nll": float(train_nll),
-               "val_nll": vloss, "seconds": round(time.time() - t0, 1)}
+               "val_nll": vloss, "shuffle_delta": round(dshuf, 4),
+               "seconds": round(time.time() - t0, 1)}
         history.append(rec)
-        log.info("step %5d | train %.3f | val %.3f | %.0fs", step_no,
-                 rec["train_nll"], vloss, rec["seconds"])
+        log.info("step %5d | train %.3f | val %.3f | dshuf %.3f | %.0fs",
+                 step_no, rec["train_nll"], vloss, dshuf, rec["seconds"])
         ckpt.write_bytes(to_bytes(params))
         (outdir / "history.json").write_text(json.dumps(history, indent=2))
 
@@ -228,10 +263,15 @@ def main(argv=None):
         "sbc_ks_p": dict(zip(PARAM_NAMES, sbc_p)),
         "sbc_pass_frac": float(np.mean(np.asarray(sbc_p) > 1e-3)),
         "final_val_nll": history[-1]["val_nll"] if history else None,
-        "config": {"duration": args.duration, "n_bands": args.n_bands,
-                   "per_band": args.per_band, "steps": args.steps,
-                   "batch": args.batch, **enc_cfg, "n_params": n_par,
-                   "mesh": args.mesh},
+        # nested enc/tokens dicts: the validator rebuilds BOTH verbatim
+        # (ADVICE r4: cherry-picked flat keys silently rebuilt a different
+        # architecture when enc_cfg grew)
+        "config": {"duration": args.duration, "steps": args.steps,
+                   "batch": args.batch, "enc": enc_cfg, "tokens": tok_cfg,
+                   "n_params": n_par, "mesh": args.mesh,
+                   # legacy flat keys kept for older readers
+                   "n_bands": args.n_bands, "per_band": args.per_band,
+                   **{k: enc_cfg[k] for k in ("d_model", "n_layers")}},
     }
     (outdir / "calibration.json").write_text(json.dumps(cal, indent=2))
     log.info("cov50 violations: %d; cov90 violations: %d; SBC pass %.2f",

@@ -71,7 +71,9 @@ def main(argv=None):
 
     from posteriflow_tpu import PARAM_NAMES
     from posteriflow_tpu.models.long_bns import (LongBNSNPE,
-                                                 simulate_long_bns_batch)
+                                                 build_chirp_token_grid,
+                                                 simulate_long_bns_batch,
+                                                 simulate_long_bns_batch_v3)
     from posteriflow_tpu.scaler import ParamScaler
     from posteriflow_tpu.utils.logging import setup_logging
     from posteriflow_tpu.utils.provenance import config_hash
@@ -79,15 +81,28 @@ def main(argv=None):
     log = setup_logging()
     mdir = Path(args.model)
     cal_cfg = json.loads((mdir / "calibration.json").read_text())["config"]
-    enc_cfg = {k: cal_cfg[k] for k in ("d_model", "n_layers")
-               if k in cal_cfg}
+    # nested enc/tokens dicts rebuilt VERBATIM (ADVICE r4); flat-key
+    # fallback for pre-v3 calibrations
+    enc_cfg = cal_cfg.get("enc") or {
+        k: cal_cfg[k] for k in ("d_model", "n_layers") if k in cal_cfg}
     net = LongBNSNPE(enc=enc_cfg)
-    sim_kw = dict(duration=cal_cfg["duration"], n_bands=cal_cfg["n_bands"],
-                  per_band=cal_cfg["per_band"])
+    tok_cfg = cal_cfg.get("tokens", {"kind": "v1"})
+    if tok_cfg.get("kind") == "chirp":
+        grid = build_chirp_token_grid(
+            **{k: v for k, v in tok_cfg.items() if k != "kind"})
+
+        def sim_fn(k, n):
+            return simulate_long_bns_batch_v3(k, n, grid)
+    else:
+        sim_kw = dict(duration=cal_cfg["duration"],
+                      n_bands=cal_cfg["n_bands"],
+                      per_band=cal_cfg["per_band"])
+
+        def sim_fn(k, n):
+            return simulate_long_bns_batch(k, n, **sim_kw)
 
     key0 = jax.random.PRNGKey(0)
-    tok0, th0 = jax.jit(lambda k: simulate_long_bns_batch(
-        k, args.chunk, **sim_kw))(key0)
+    tok0, th0 = jax.jit(lambda k: sim_fn(k, args.chunk))(key0)
     params = jax.jit(net.init)(key0, tok0, th0)
     params = from_bytes(params, (mdir / "params.msgpack").read_bytes())
     log.info("loaded %s (tokens %s)", mdir, tok0.shape)
@@ -96,7 +111,7 @@ def main(argv=None):
 
     @jax.jit
     def chunk_metrics(params, k):
-        tokens, theta = simulate_long_bns_batch(k, args.chunk, **sim_kw)
+        tokens, theta = sim_fn(k, args.chunk)
         nll = net.apply(params, tokens, theta)
         nll_shuf = net.apply(params, tokens, jnp.roll(theta, 1, axis=0))
         draws, y_raw = net.apply(params, jax.random.fold_in(k, 1), tokens,

@@ -131,3 +131,146 @@ def test_sharded_nll_and_grads_match_unsharded():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+# ── v3 chirp-adapted heterodyned front-end ───────────────────────────────────
+
+def _small_grid(**kw):
+    from posteriflow_tpu.models.long_bns import build_chirp_token_grid
+    cfg = dict(duration=16.0, f_hi=256.0, pad_multiple=32)
+    cfg.update(kw)
+    return build_chirp_token_grid(**cfg)
+
+
+def test_chirp_tokens_pooling_exactness():
+    """cumsum+gather segment pooling == brute-force per-segment means."""
+    from posteriflow_tpu.models.long_bns import chirp_tokens
+
+    grid = _small_grid()
+    rng = np.random.default_rng(0)
+    n = grid["cut"]
+    h = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+         ).astype(np.complex64)
+    tok = np.asarray(chirp_tokens(jnp.asarray(h), grid))
+    assert tok.shape == (grid["L"], 11)
+    assert np.isfinite(tok).all()
+
+    x = h[:, grid["i_lo"]:] * grid["het"][None, :]
+    for t in [0, 1, grid["n_tok"] // 2, grid["n_tok"] - 1]:
+        s, e = grid["starts"][t], grid["ends"][t]
+        k = float(grid["counts"][t])
+        ref = x[:, s:e].sum(axis=1) / np.sqrt(2.0 * k)
+        np.testing.assert_allclose(tok[t, :3], ref.real, atol=1e-3)
+        np.testing.assert_allclose(tok[t, 3:6], ref.imag, atol=1e-3)
+        ref_e = ((np.abs(x[:, s:e]) ** 2).sum(axis=1) - 2 * k) / (
+            2 * np.sqrt(k))
+        np.testing.assert_allclose(tok[t, 6:9], ref_e, atol=2e-3)
+
+
+def test_chirp_tokens_snr_retention():
+    """The v3 front-end keeps >=80% of SNR^2 at the prior corners (the v1
+    mean-pool front-end measured ~13% — the v2 conditioning failure)."""
+    from posteriflow_tpu.models.long_bns import (build_chirp_token_grid,
+                                                 chirp_tokens)
+    from posteriflow_tpu.physics.psd import default_network_psd
+    from posteriflow_tpu.physics.projection import project_to_network
+    from posteriflow_tpu.physics.waveforms.taylorf2 import \
+        taylorf2_polarizations
+    from posteriflow_tpu.physics.whiten import whiten_fd
+
+    grid = build_chirp_token_grid(duration=32.0, f_hi=256.0)
+    freqs = jnp.asarray(grid["freqs"], jnp.float32)
+    psd = default_network_psd(grid["freqs"])
+    asd = jnp.asarray(np.sqrt(psd) * 1e23, jnp.float32)
+
+    @jax.jit
+    def sig_tok(m, t_off):
+        hp, hc = taylorf2_polarizations(freqs, m, m, 0.0, 0.0, 100.0,
+                                        0.5, 1.0)
+        h_det = project_to_network(freqs, hp, hc, 1.0, 0.3, 0.7, t_off,
+                                   duration=grid["duration"])
+        h_w = whiten_fd(h_det, asd, 1.0 / grid["duration"])
+        return h_w, chirp_tokens(h_w, grid)
+
+    for m, t_off in [(1.4, 0.0), (1.0, -1.5), (2.5, 1.5)]:
+        h_w, tok = sig_tok(m, t_off)
+        hb = np.asarray(h_w)[:, grid["i_lo"]:]
+        rho2 = float((np.abs(hb) ** 2).sum() / 2.0)
+        c = np.asarray(tok[:, :3]) + 1j * np.asarray(tok[:, 3:6])
+        retained = float((np.abs(c) ** 2).sum()) / rho2
+        assert retained > 0.80, (m, t_off, retained)
+
+
+def test_simulate_v3_and_train_step():
+    """v3 batch synthesis + one training step with the patched encoder."""
+    import optax
+    from posteriflow_tpu.models.long_bns import (LongBNSNPE,
+                                                 simulate_long_bns_batch_v3)
+
+    grid = _small_grid()
+    sim = jax.jit(lambda k: simulate_long_bns_batch_v3(k, 4, grid))
+    tokens, theta = sim(jax.random.PRNGKey(0))
+    assert tokens.shape == (4, grid["L"], 11)
+    assert np.isfinite(np.asarray(tokens)).all()
+    assert (np.asarray(theta)[:, 0] <= 2.5 + 1e-5).all()
+
+    model = LongBNSNPE(enc=dict(d_model=32, n_layers=1, n_heads=4,
+                                context_dim=16, patch=4),
+                       flow_layers=2, flow_hidden=32, flow_bins=4)
+    params = model.init(jax.random.PRNGKey(1), tokens, theta)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        tok, th = simulate_long_bns_batch_v3(key, 4, grid)
+        loss, g = jax.value_and_grad(
+            lambda p: model.apply(p, tok, th))(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for i in range(2):
+        params, opt, loss = step(params, opt, jax.random.PRNGKey(2 + i))
+        assert np.isfinite(float(loss))
+    draws = model.apply(params, jax.random.PRNGKey(9), tokens, 8,
+                        method=LongBNSNPE.sample)
+    assert draws.shape == (4, 8, 11)
+
+
+def test_sharded_patch_encoder_matches_unsharded():
+    """Patch embedding stays EXACT under sequence parallelism (the design
+    reason for non-overlapping patches: no halo exchange)."""
+    mesh = make_mesh(8, model_parallel=4)
+    cfg = dict(d_model=32, n_layers=2, n_heads=4, context_dim=16, patch=4)
+    init_fn, apply_fn, apply_ref = make_sharded_encoder(mesh, SEQ, 11, cfg)
+    tokens = jax.random.normal(jax.random.PRNGKey(0), (4, SEQ, 11))
+    params = init_fn(jax.random.PRNGKey(1), tokens[0])
+    np.testing.assert_allclose(np.asarray(apply_fn(params, tokens)),
+                               np.asarray(apply_ref(params, tokens)),
+                               atol=2e-4)
+
+
+def test_sharded_nll_matches_with_patch():
+    from posteriflow_tpu.models.long_bns import (LongBNSNPE,
+                                                 make_sharded_nll,
+                                                 simulate_long_bns_batch_v3)
+
+    grid = _small_grid()
+    tokens, theta = jax.jit(lambda k: simulate_long_bns_batch_v3(
+        k, 4, grid))(jax.random.PRNGKey(0))
+    model = LongBNSNPE(enc=dict(d_model=32, n_layers=1, n_heads=4,
+                                context_dim=16, patch=4),
+                       flow_layers=2, flow_hidden=32, flow_bins=4)
+    params = model.init(jax.random.PRNGKey(1), tokens, theta)
+
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    loss_sh = make_sharded_nll(mesh, tokens.shape[1], model)
+    l0, g0 = jax.value_and_grad(lambda p: model.apply(p, tokens, theta))(
+        params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_sh(p, tokens, theta))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)

@@ -89,6 +89,26 @@ def test_spin_components_limits():
     assert float(cppi) < float(cp0)
 
 
+def test_chi_p_resultant_regime():
+    """Pin the DOCUMENTED >1 regime of the resultant chi_p (ADVICE r4):
+    both spins maximal and coplanar-in-plane at q=1 gives
+    chi_p = (B1+B2)/B1 · a = 2·a, and the angle kernel stays finite."""
+    from posteriflow_tpu.physics.waveforms.precession import \
+        precession_angles
+
+    c1, c2, cp = spin_components(0.99, 0.99, math.pi / 2, math.pi / 2,
+                                 0.0, 20.0, 20.0)
+    np.testing.assert_allclose(float(c1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(c2), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(cp), 2.0 * 0.99, rtol=1e-5)
+    freqs = jnp.linspace(20.0, 512.0, 512)
+    cb, al, ep = precession_angles(freqs, 20.0, 20.0, float(c1), float(c2),
+                                   float(cp))
+    for arr in (cb, al, ep):
+        assert np.isfinite(np.asarray(arr)).all()
+    assert (np.abs(np.asarray(cb)) <= 1.0 + 1e-6).all()
+
+
 def test_aligned_limit_matches_11d_kernel(asd, draws):
     """tilts = 0, phi_jl = 0: the 15-D kernel reduces to the fused aligned
     11-D kernel to f32 roundoff."""
