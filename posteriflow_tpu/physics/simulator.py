@@ -41,6 +41,10 @@ from posteriflow_tpu.physics.whiten import fd_white_to_td, whiten_fd
 from posteriflow_tpu.prior import PriorConfig, loudness, sample_batch
 
 _FREQS = jnp.asarray(FREQS, dtype=jnp.float32)
+# concrete copy for code that must slice the grid at TRACE time (the
+# chirp-adapted twist grid is built from concrete frequencies; slicing the
+# jax constant inside jit would yield a tracer)
+_FREQS_NP = np.asarray(FREQS, dtype=np.float32)
 
 # Non-empty proper subsets of (H1, L1, V1) kept under detector dropout
 # (reference: remix_data.py:154)
@@ -156,7 +160,7 @@ def _signal_white_fd_prec(params: jax.Array, asd: jax.Array,
     # projection halved 15-D training MFU)
     sp, sm = twist_factors_decimated(_FREQS, m1, m2, chi_1z, chi_2z,
                                      chi_p, theta_jn, f_lower,
-                                     alpha0=pjl, decimate=2)
+                                     alpha0=pjl, decimate=8)
     gmst = GMST_REF + OMEGA_EARTH * t_off
     f_plus, f_cross, dt = network_response(ra, dec, psi_pol, gmst)
     c_d = (f_plus[:, None] * (0.5 * (sp + sm))[None, :]
@@ -190,7 +194,7 @@ def _signal_snr_prec(params: jax.Array, asd: jax.Array,
     (m1, m2, d, ra, dec, theta_jn, psi_pol, phase, t_off, a1, a2,
      t1, t2, p12, pjl) = params
     chi_1z, chi_2z, chi_p = spin_components(a1, a2, t1, t2, p12, m1, m2)
-    freqs = _FREQS[::decimate]
+    freqs = _FREQS_NP[::decimate]
     asd_d = asd[:, ::decimate]
     amp, _psi_dead = phenomd_matter_amp_phase(freqs, m1, m2, chi_1z,
                                               chi_2z, d, phase, f_lower)
@@ -198,7 +202,7 @@ def _signal_snr_prec(params: jax.Array, asd: jax.Array,
     # detector (the cone's azimuth relative to each antenna), so keep it
     sp, sm = twist_factors_decimated(freqs, m1, m2, chi_1z, chi_2z,
                                      chi_p, theta_jn, f_lower,
-                                     alpha0=pjl, decimate=2)
+                                     alpha0=pjl, decimate=8)
     gmst = GMST_REF + OMEGA_EARTH * t_off
     f_plus, f_cross, _dt = network_response(ra, dec, psi_pol, gmst)
     comb = (f_plus[:, None] * (0.5 * (sp + sm))[None, :]

