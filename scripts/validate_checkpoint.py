@@ -101,7 +101,10 @@ def main(argv=None):
 
     # fixed seeded validation batch (Gaussian domain), evaluated in chunks
     chunk = 256
-    n_chunks = max(1, args.n_events // chunk)
+    # round UP so the effective count covers the nominal request (the r4
+    # batteries silently measured 1792 of a nominal 2000 — VERDICT r4
+    # weak-#6); the report records both.
+    n_chunks = max(1, -(-args.n_events // chunk))
     diag_fn = make_diagnostics(cfg, n_events=chunk, n_post=args.n_post)
     cal_fn = make_calibration_metrics(cfg, n_events=chunk,
                                       n_post=args.n_post)
@@ -304,6 +307,7 @@ def main(argv=None):
         "smoke_tc_max_abs_err": max(tc_errs),
         "smoke_tests": smoke,
         "n_events": n_chunks * chunk,
+        "n_events_nominal": args.n_events,
         "n_post": args.n_post,
         "wall_time_s": round(time.time() - t_start, 1),
     }
