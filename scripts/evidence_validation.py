@@ -134,6 +134,140 @@ def part_a(n: int = 4096, seed: int = 0, n_rep: int = 3) -> dict:
     return out
 
 
+# ── Part C: 15-D ground truth in the ACTUAL precessing parameter space ───
+# (VERDICT r4 missing-#2: "nothing validates a 15-D logZ to within a few
+# nats"). Gaussian likelihood over SEVEN dims whose priors are independent
+# closed-form marginals of the 15-D precessing prior — psi, geocent_time,
+# a1, a2 (uniform), tilt_1 (sine), phi_12, phi_jl (uniform) — so
+#   Z = prod_uniform [sig*sqrt(2pi)*DPhi/w] * int N(t;mu,sig) sin(t)/2 dt
+# with the tilt factor a 1-D quadrature (exact to ~1e-10). All three
+# production estimators face this truth in the full 15-D space: plain IS
+# from a matched proposal (the flow-IS identity), tempered prior-SMC at
+# increasing rejuvenation walk length (the volume-bias mechanism), and the
+# nested fallback sampler at an nlive ladder (the anchors' comparator).
+
+_L15 = {  # idx: (mu, sigma, lo, hi, kind)
+    6:  (1.10, 0.05, 0.0, math.pi, "uniform"),        # psi
+    8:  (0.25, 0.02, -1.5, 1.5, "uniform"),           # geocent_time
+    9:  (0.40, 0.03, 0.0, 0.99, "uniform"),           # a1
+    10: (0.30, 0.03, 0.0, 0.99, "uniform"),           # a2
+    11: (1.20, 0.10, 0.0, math.pi, "sin"),            # tilt_1
+    13: (2.50, 0.15, 0.0, 2 * math.pi, "uniform"),    # phi_12
+    14: (4.00, 0.15, 0.0, 2 * math.pi, "uniform"),    # phi_jl
+}
+
+
+def synthetic_log_l_15(theta):
+    import numpy as np
+    th = np.asarray(theta, dtype=np.float64)
+    out = 0.0
+    for d, (mu, sig, *_rest) in _L15.items():
+        out = out - (th[..., d] - mu) ** 2 / (2.0 * sig * sig)
+    return out
+
+
+def _truth_logz_15() -> float:
+    import numpy as np
+    from scipy.integrate import quad
+    from scipy.stats import norm
+    lz = 0.0
+    for d, (mu, sig, lo, hi, kind) in _L15.items():
+        if kind == "uniform":
+            frac = norm.cdf((hi - mu) / sig) - norm.cdf((lo - mu) / sig)
+            lz += math.log(sig * math.sqrt(2 * math.pi) * frac / (hi - lo))
+        else:                                    # sine prior (tilt_1)
+            val, err = quad(
+                lambda t: math.exp(-(t - mu) ** 2 / (2 * sig * sig))
+                * math.sin(t) / 2.0, lo, hi, epsabs=1e-14)
+            assert err < 1e-10
+            lz += math.log(val)
+    return lz
+
+
+def part_c(n: int = 4096, seed: int = 0, n_rep: int = 3,
+           nlive_grid=(400, 800)) -> dict:
+    import numpy as np
+    from posteriflow_tpu.inference.dynesty_bridge import run_dynesty
+    from posteriflow_tpu.inference.importance import _tempered_is
+    from posteriflow_tpu.prior import (PriorConfig, log_prior_bbh,
+                                       sample_prior_bbh)
+
+    pcfg = PriorConfig(precessing=True)
+    truth = _truth_logz_15()
+    out = {"truth_logz": truth, "n_particles": n, "ndim": 15}
+
+    # 1. matched-proposal IS — the flow-IS identity, isolated from
+    # proposal quality (q = prior except 1.5σ Gaussians on the L dims)
+    rng = np.random.default_rng(seed)
+    is_logz = []
+    for _ in range(n_rep):
+        th = sample_prior_bbh(rng, n, pcfg)
+        log_corr = np.zeros(n)
+        for d, (mu, sig, lo, hi, kind) in _L15.items():
+            s = 1.5 * sig
+            x = np.clip(rng.normal(mu, s, n), lo + 1e-9, hi - 1e-9)
+            th[:, d] = x
+            lp_marg = (-math.log(hi - lo) if kind == "uniform"
+                       else np.log(np.sin(x) / 2.0))
+            log_corr += lp_marg - (-math.log(s * math.sqrt(2 * math.pi))
+                                   - (x - mu) ** 2 / (2 * s * s))
+        lw = synthetic_log_l_15(th) + log_corr
+        m = lw.max()
+        is_logz.append(float(np.log(np.mean(np.exp(lw - m))) + m))
+    out["is_good_proposal"] = {
+        "logz_mean": float(np.mean(is_logz)),
+        "logz_std": float(np.std(is_logz)),
+        "bias": float(np.mean(is_logz) - truth), "n_rep": n_rep}
+
+    # 2. tempered prior-SMC in the full 15-D space vs walk length
+    import jax
+    import jax.numpy as jnp
+    log_prior_fn = jax.jit(jax.vmap(lambda t: log_prior_bbh(t, pcfg)))
+
+    def _ll_fn(t):
+        return synthetic_log_l_15(np.asarray(t))
+
+    smc = []
+    for n_mcmc in (1, 3, 10, 30):
+        runs = []
+        t0 = time.time()
+        for rep in range(n_rep):
+            rng = np.random.default_rng(1000 * rep + n_mcmc)
+            theta = sample_prior_bbh(rng, n, pcfg)
+            lp = np.asarray(log_prior_fn(jnp.asarray(theta, jnp.float32)),
+                            np.float64)
+            ll = synthetic_log_l_15(theta)
+            r = _tempered_is(theta, lp.copy(), ll, lp, _ll_fn, log_prior_fn,
+                             n_mcmc=n_mcmc, max_stages=60,
+                             seed=rep + 17 * n_mcmc)
+            runs.append(float(r.log_evidence_ratio))
+        smc.append({"n_mcmc": n_mcmc,
+                    "logz_mean": float(np.mean(runs)),
+                    "logz_std": float(np.std(runs)),
+                    "bias": float(np.mean(runs) - truth),
+                    "wall_s": round(time.time() - t0, 1)})
+        print(f"  15-D prior-SMC n_mcmc={n_mcmc:3d}: "
+              f"bias {smc[-1]['bias']:+.3f} ± {smc[-1]['logz_std']:.3f}")
+    out["prior_smc_vs_walk_length"] = smc
+
+    # 3. nested fallback sampler at an nlive ladder (the anchors' logZ
+    # comparator, on a target whose truth is known)
+    nested = []
+    for nlive in nlive_grid:
+        t0 = time.time()
+        r = run_dynesty(synthetic_log_l_15, nlive=nlive, seed=seed,
+                        maxiter=200000, ndim=15)
+        nested.append({"nlive": nlive, "logz": float(r["logz"]),
+                       "bias": float(r["logz"] - truth),
+                       "n_like_calls": int(r.get("n_like_calls", -1)),
+                       "sampler": r.get("sampler", "fallback"),
+                       "wall_s": round(time.time() - t0, 1)})
+        print(f"  15-D nested nlive={nlive}: bias "
+              f"{nested[-1]['bias']:+.3f} ({nested[-1]['wall_s']}s)")
+    out["nested_vs_nlive"] = nested
+    return out
+
+
 def part_b(release: str, n_mcmc_grid=(2, 5, 15, 40), seed: int = 0) -> dict:
     """One injection: flow-IS logZ vs prior-SMC logZ at increasing walk
     length (TPU; the likelihood is the production marginalized Whittle)."""
@@ -213,6 +347,13 @@ def main(argv=None):
     for row in t["prior_smc_vs_walk_length"]:
         print(f"prior-SMC n_mcmc={row['n_mcmc']:3d}: "
               f"bias {row['bias']:+.3f} ± {row['logz_std']:.3f}")
+
+    print("Part C: 15-D precessing-space synthetic, quadrature-exact logZ")
+    report["synthetic_15d"] = part_c(n=args.n, seed=args.seed)
+    c = report["synthetic_15d"]
+    print(f"15-D truth logZ = {c['truth_logz']:.4f}; matched-proposal IS "
+          f"bias = {c['is_good_proposal']['bias']:+.4f} "
+          f"± {c['is_good_proposal']['logz_std']:.4f}")
 
     if args.real:
         report["real_case"] = part_b(args.release, seed=args.seed)

@@ -53,8 +53,9 @@ def main(argv=None):
     for f in ("params.msgpack", "history.json", "calibration.json"):
         shutil.copy2(run / f, out / f)
 
+    is_v4 = (cal["config"].get("tokens", {}).get("kind") == "trigger")
     meta = {
-        "model": "LongBNSNPE",
+        "model": "LongBNSNPEv4" if is_v4 else "LongBNSNPE",
         "config": cal["config"],
         "final": history[-1],
         "trained_steps": history[-1]["step"],

@@ -63,6 +63,14 @@ def main(argv=None):
     taus, taus_fb = [], []
     pair_bins = {b: [0, 0] for b in ((0.0, 0.1), (0.1, 0.3), (0.3, 1.0),
                                      (1.0, 10.0))}
+    # jitter-ceiling oracle: score = the PHYSICS expected SNR of the
+    # JITTERED candidate (snr_est) — the most any model can extract from
+    # the candidate-parameter channel, whose 5% jitter is the suspected
+    # close-pair information ceiling (close_boost 3 and 8 both left the
+    # close bin at exactly 0.685)
+    pair_bins_orc = {b: [0, 0] for b in ((0.0, 0.1), (0.1, 0.3),
+                                         (0.3, 1.0), (1.0, 10.0))}
+    top1_orc = 0
     sig_err = []
     cand_sig_err = []
     rank_unc_pairs = []
@@ -96,6 +104,8 @@ def main(argv=None):
             true_order = np.argsort(-tg)
             top1 += int(np.argmax(sc) == true_order[0])
             top1_fb += int(np.argmax(loud) == true_order[0])
+            orc = np.asarray(snr_est)[b, live]
+            top1_orc += int(np.argmax(orc) == true_order[0])
             t = kendalltau(np.argsort(-sc), true_order).statistic
             t_fb = kendalltau(np.argsort(-loud), true_order).statistic
             if np.isfinite(t):
@@ -107,9 +117,14 @@ def main(argv=None):
                 for c in range(a + 1, k):
                     sep = abs(tg[a] - tg[c])
                     correct = (sc[a] - sc[c]) * (tg[a] - tg[c]) > 0
+                    corr_orc = (orc[a] - orc[c]) * (tg[a] - tg[c]) > 0
                     for (lo, hi), acc in pair_bins.items():
                         if lo <= sep < hi:
                             acc[0] += int(correct)
+                            acc[1] += 1
+                    for (lo, hi), acc in pair_bins_orc.items():
+                        if lo <= sep < hi:
+                            acc[0] += int(corr_orc)
                             acc[1] += 1
             # uncertainty vs error: per-candidate |score error| (what the
             # heteroscedastic NLL trains sigma to predict) and the
@@ -141,6 +156,11 @@ def main(argv=None):
         "pairwise_acc_by_target_sep": {
             f"[{lo},{hi})": (acc[0] / acc[1] if acc[1] else None)
             for (lo, hi), acc in pair_bins.items()},
+        # the params-channel information ceiling (see pair_bins_orc note)
+        "oracle_top1": top1_orc / max(n_multi, 1),
+        "oracle_pairwise_acc_by_target_sep": {
+            f"[{lo},{hi})": (acc[0] / acc[1] if acc[1] else None)
+            for (lo, hi), acc in pair_bins_orc.items()},
         # the round-2 target metric: predicted rank uncertainty (sigma
         # MC-propagated through the score ordering) vs |actual rank
         # displacement|, per candidate

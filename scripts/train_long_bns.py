@@ -26,11 +26,19 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--duration", type=float, default=64.0)
-    ap.add_argument("--tokens", default="v3", choices=["v1", "v3"],
+    ap.add_argument("--tokens", default="v4", choices=["v1", "v3", "v4"],
                     help="front-end: v1 = legacy geomspaced mean-pool "
                          "(conditioning-dead: pooling destroys the chirp "
                          "phase, see build_chirp_token_grid docstring); "
-                         "v3 = chirp-adapted heterodyned pooling")
+                         "v3 = chirp-adapted heterodyned pooling (also "
+                         "conditioning-dead: per-token SNR ~0.009); "
+                         "v4 = trigger-conditioned heterodyne (per-token "
+                         "SNR ~1, SNR^2 retention >99%)")
+    ap.add_argument("--sigma-mc-rel", type=float, default=5e-4,
+                    help="v4: trigger chirp-mass relative error")
+    ap.add_argument("--sigma-t", type=float, default=5e-3,
+                    help="v4: trigger per-detector timing error [s]")
+    ap.add_argument("--flow-bins", type=int, default=12)
     ap.add_argument("--n-bands", type=int, default=64)
     ap.add_argument("--per-band", type=int, default=32)
     ap.add_argument("--alpha", type=float, default=2.0,
@@ -86,17 +94,32 @@ def main(argv=None):
     from flax.serialization import from_bytes, to_bytes
 
     from posteriflow_tpu import PARAM_NAMES
-    from posteriflow_tpu.models.long_bns import (LongBNSNPE,
+    from posteriflow_tpu.models.long_bns import (LongBNSNPE, LongBNSNPEv4,
                                                  build_chirp_token_grid,
+                                                 build_trigger_token_grid,
                                                  simulate_long_bns_batch,
-                                                 simulate_long_bns_batch_v3)
+                                                 simulate_long_bns_batch_v3,
+                                                 simulate_long_bns_batch_v4)
     from posteriflow_tpu.utils.logging import setup_logging
 
     log = setup_logging()
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    if args.tokens == "v3":
+    is_v4 = args.tokens == "v4"
+    if is_v4:
+        grid = build_trigger_token_grid(duration=args.duration,
+                                        f_hi=args.f_hi, alpha=args.alpha,
+                                        sigma_mc_rel=args.sigma_mc_rel,
+                                        sigma_t=args.sigma_t)
+        tok_cfg = grid["config"]
+        enc_cfg = dict(d_model=args.d_model, n_layers=args.n_layers,
+                       n_heads=args.n_heads, patch=args.patch)
+
+        def batch_fn(k, amp_scale=1.0):
+            return simulate_long_bns_batch_v4(k, args.batch, grid,
+                                              amp_scale)
+    elif args.tokens == "v3":
         grid = build_chirp_token_grid(duration=args.duration,
                                       f_hi=args.f_hi, alpha=args.alpha)
         tok_cfg = grid["config"]
@@ -116,12 +139,18 @@ def main(argv=None):
                                            n_bands=args.n_bands,
                                            per_band=args.per_band)
 
-    net = LongBNSNPE(enc=enc_cfg)
+    if is_v4:
+        net = LongBNSNPEv4(enc=enc_cfg, flow_bins=args.flow_bins,
+                           sigma_mc_rel=args.sigma_mc_rel,
+                           sigma_t=args.sigma_t)
+    else:
+        net = LongBNSNPE(enc=enc_cfg)
 
     key = jax.random.PRNGKey(args.seed)
-    tokens0, theta0 = jax.jit(batch_fn)(key)
+    batch0 = jax.jit(batch_fn)(key)
+    tokens0, theta0 = batch0[0], batch0[1]
     log.info("tokens %s  theta %s", tokens0.shape, theta0.shape)
-    params = jax.jit(net.init)(key, tokens0, theta0)
+    params = jax.jit(net.init)(key, *batch0)
     n_par = sum(x.size for x in jax.tree.leaves(params))
     log.info("LongBNSNPE: %s params", f"{n_par:,}")
 
@@ -145,18 +174,21 @@ def main(argv=None):
         from jax.sharding import Mesh
         devs = np.array(jax.devices()[: args.mesh])
         mesh = Mesh(devs.reshape(1, args.mesh), ("data", "model"))
-        from posteriflow_tpu.models.long_bns import make_sharded_nll
-        sharded_loss = make_sharded_nll(mesh, tokens0.shape[1], net)
+        from posteriflow_tpu.models.long_bns import (make_sharded_nll,
+                                                     make_sharded_nll_v4)
+        sharded_loss = (make_sharded_nll_v4(mesh, tokens0.shape[1], net)
+                        if is_v4
+                        else make_sharded_nll(mesh, tokens0.shape[1], net))
         log.info("sequence-parallel training on %s", mesh)
 
     def step_impl(carry, k):
         params, opt_state = carry
-        tokens, theta = batch_fn(k)
+        batch = batch_fn(k)
 
         def loss_fn(p):
             if sharded_loss is not None:
-                return sharded_loss(p, tokens, theta)
-            return net.apply(p, tokens, theta)
+                return sharded_loss(p, *batch)
+            return net.apply(p, *batch)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -179,8 +211,21 @@ def main(argv=None):
             jnp.arange(args.scan, dtype=jnp.int32))
         return params, opt_state, jnp.mean(losses), losses[-1]
 
+    delta_key = "signal_delta" if is_v4 else "shuffle_delta"
+
     @jax.jit
     def val_metrics(params, kv):
+        if is_v4:
+            tv, thv, trv = batch_fn(kv)
+            vloss = net.apply(params, tv, thv, trv)
+            # signal-delta: SAME (theta, trigger, noise), signal removed
+            # (amp_scale=0). A strain-ignoring model scores 0; this is the
+            # v4 conditioning metric (theta-shuffle is meaningless under
+            # trigger-relative labels: it tests trigger-label consistency,
+            # not strain use).
+            tv0, _, _ = batch_fn(kv, 0.0)
+            vdelta = net.apply(params, tv0, thv, trv)
+            return vloss, vdelta - vloss
         tv, thv = batch_fn(kv)
         vloss = net.apply(params, tv, thv)
         # context-shuffle delta: the conditioning signal the v2 failure
@@ -190,13 +235,14 @@ def main(argv=None):
 
     def eval_and_record(step_no, train_nll, t0):
         kv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7), step_no)
-        vloss, dshuf = (float(x) for x in val_metrics(params, kv))
+        vloss, delta = (float(x) for x in val_metrics(params, kv))
         rec = {"step": step_no, "train_nll": float(train_nll),
-               "val_nll": vloss, "shuffle_delta": round(dshuf, 4),
+               "val_nll": vloss, delta_key: round(delta, 4),
                "seconds": round(time.time() - t0, 1)}
         history.append(rec)
-        log.info("step %5d | train %.3f | val %.3f | dshuf %.3f | %.0fs",
-                 step_no, rec["train_nll"], vloss, dshuf, rec["seconds"])
+        log.info("step %5d | train %.3f | val %.3f | %s %.3f | %.0fs",
+                 step_no, rec["train_nll"], vloss, delta_key, delta,
+                 rec["seconds"])
         ckpt.write_bytes(to_bytes(params))
         (outdir / "history.json").write_text(json.dumps(history, indent=2))
 
@@ -224,9 +270,15 @@ def main(argv=None):
 
     @jax.jit
     def cal_chunk(params, k):
-        tokens, theta = batch_fn(k)
-        draws = net.apply(params, jax.random.fold_in(k, 1), tokens,
-                          args.cal_post, method=LongBNSNPE.sample)
+        if is_v4:
+            tokens, theta, trig = batch_fn(k)
+            draws = net.apply(params, jax.random.fold_in(k, 1), tokens,
+                              trig, args.cal_post,
+                              method=LongBNSNPEv4.sample)
+        else:
+            tokens, theta = batch_fn(k)
+            draws = net.apply(params, jax.random.fold_in(k, 1), tokens,
+                              args.cal_post, method=LongBNSNPE.sample)
         # central-interval coverage + SBC rank per parameter
         lo50 = jnp.quantile(draws, 0.25, axis=1)
         hi50 = jnp.quantile(draws, 0.75, axis=1)
@@ -268,6 +320,7 @@ def main(argv=None):
         # architecture when enc_cfg grew)
         "config": {"duration": args.duration, "steps": args.steps,
                    "batch": args.batch, "enc": enc_cfg, "tokens": tok_cfg,
+                   "flow": {"bins": args.flow_bins} if is_v4 else {},
                    "n_params": n_par, "mesh": args.mesh,
                    # legacy flat keys kept for older readers
                    "n_bands": args.n_bands, "per_band": args.per_band,

@@ -38,6 +38,23 @@ GATES = {
     "dist_corr": (">", 0.5),
 }
 
+# v4 (trigger-conditioned heterodyne): theta-shuffle is meaningless under
+# trigger-RELATIVE labels (it tests trigger-label consistency, which
+# explodes trivially, not strain use). The conditioning gates become:
+#   signal_delta_nll — NLL gap between noise-only and signal tokens at the
+#     SAME (theta, trigger, noise); a strain-ignoring model scores 0
+#   mc_sharpen — median ratio of the posterior's chirp-mass std to the
+#     trigger residual prior's (σ_mc·M̂c); ≈1 for a trigger-only model
+GATES_V4 = {
+    "signal_delta_nll": (">", 2.0),
+    "mc_sharpen": ("<", 0.8),
+    "cov50_violations": ("<=", 2),
+    "cov90_violations": ("<=", 2),
+    "sbc_pass_frac": (">=", 9.0 / 11.0),
+    "spurious_railing": ("<", 0.05),
+    "dist_corr": (">", 0.5),
+}
+
 
 def _check(name, value, spec):
     op, thresh = spec
@@ -70,10 +87,12 @@ def main(argv=None):
     from scipy.stats import kstest
 
     from posteriflow_tpu import PARAM_NAMES
-    from posteriflow_tpu.models.long_bns import (LongBNSNPE,
+    from posteriflow_tpu.models.long_bns import (LongBNSNPE, LongBNSNPEv4,
                                                  build_chirp_token_grid,
+                                                 build_trigger_token_grid,
                                                  simulate_long_bns_batch,
-                                                 simulate_long_bns_batch_v3)
+                                                 simulate_long_bns_batch_v3,
+                                                 simulate_long_bns_batch_v4)
     from posteriflow_tpu.scaler import ParamScaler
     from posteriflow_tpu.utils.logging import setup_logging
     from posteriflow_tpu.utils.provenance import config_hash
@@ -85,15 +104,27 @@ def main(argv=None):
     # fallback for pre-v3 calibrations
     enc_cfg = cal_cfg.get("enc") or {
         k: cal_cfg[k] for k in ("d_model", "n_layers") if k in cal_cfg}
-    net = LongBNSNPE(enc=enc_cfg)
     tok_cfg = cal_cfg.get("tokens", {"kind": "v1"})
+    is_v4 = tok_cfg.get("kind") == "trigger"
+    if is_v4:
+        grid = build_trigger_token_grid(
+            **{k: v for k, v in tok_cfg.items() if k != "kind"})
+        net = LongBNSNPEv4(enc=enc_cfg,
+                           flow_bins=cal_cfg.get("flow", {}).get("bins", 12),
+                           sigma_mc_rel=tok_cfg["sigma_mc_rel"],
+                           sigma_t=tok_cfg["sigma_t"])
+
+        def sim_fn(k, n, amp_scale=1.0):
+            return simulate_long_bns_batch_v4(k, n, grid, amp_scale)
+    else:
+        net = LongBNSNPE(enc=enc_cfg)
     if tok_cfg.get("kind") == "chirp":
         grid = build_chirp_token_grid(
             **{k: v for k, v in tok_cfg.items() if k != "kind"})
 
         def sim_fn(k, n):
             return simulate_long_bns_batch_v3(k, n, grid)
-    else:
+    elif not is_v4:
         sim_kw = dict(duration=cal_cfg["duration"],
                       n_bands=cal_cfg["n_bands"],
                       per_band=cal_cfg["per_band"])
@@ -102,20 +133,40 @@ def main(argv=None):
             return simulate_long_bns_batch(k, n, **sim_kw)
 
     key0 = jax.random.PRNGKey(0)
-    tok0, th0 = jax.jit(lambda k: sim_fn(k, args.chunk))(key0)
-    params = jax.jit(net.init)(key0, tok0, th0)
+    batch0 = jax.jit(lambda k: sim_fn(k, args.chunk))(key0)
+    params = jax.jit(net.init)(key0, *batch0)
     params = from_bytes(params, (mdir / "params.msgpack").read_bytes())
-    log.info("loaded %s (tokens %s)", mdir, tok0.shape)
+    log.info("loaded %s (tokens %s)", mdir, batch0[0].shape)
 
     scaler = ParamScaler()
 
     @jax.jit
     def chunk_metrics(params, k):
-        tokens, theta = sim_fn(k, args.chunk)
-        nll = net.apply(params, tokens, theta)
-        nll_shuf = net.apply(params, tokens, jnp.roll(theta, 1, axis=0))
-        draws, y_raw = net.apply(params, jax.random.fold_in(k, 1), tokens,
-                                 args.n_post, method=LongBNSNPE.sample_raw)
+        if is_v4:
+            tokens, theta, trig = sim_fn(k, args.chunk)
+            nll = net.apply(params, tokens, theta, trig)
+            # conditioning counterfactual: same (theta, trigger, noise),
+            # signal removed
+            tok0, _, _ = sim_fn(k, args.chunk, 0.0)
+            nll_alt = net.apply(params, tok0, theta, trig)
+            draws, y_raw = net.apply(params, jax.random.fold_in(k, 1),
+                                     tokens, trig, args.n_post,
+                                     method=LongBNSNPEv4.sample_raw)
+            # posterior chirp-mass std vs the trigger residual prior's
+            mc_d = ((draws[..., 0] * draws[..., 1]) ** 0.6
+                    * (draws[..., 0] + draws[..., 1]) ** -0.2)
+            mc_sharpen = jnp.median(
+                jnp.std(mc_d, axis=1)
+                / (tok_cfg["sigma_mc_rel"] * trig[:, 0]))
+        else:
+            tokens, theta = sim_fn(k, args.chunk)
+            nll = net.apply(params, tokens, theta)
+            nll_alt = net.apply(params, tokens,
+                                jnp.roll(theta, 1, axis=0))
+            draws, y_raw = net.apply(params, jax.random.fold_in(k, 1),
+                                     tokens, args.n_post,
+                                     method=LongBNSNPE.sample_raw)
+            mc_sharpen = jnp.float32(0.0)
         lo50 = jnp.quantile(draws, 0.25, axis=1)
         hi50 = jnp.quantile(draws, 0.75, axis=1)
         lo90 = jnp.quantile(draws, 0.05, axis=1)
@@ -125,14 +176,14 @@ def main(argv=None):
         rank = jnp.sum((draws < theta[:, None, :]).astype(jnp.int32), axis=1)
         railed = scaler.railing_mask(y_raw)            # [B, n_post]
         med = jnp.quantile(draws, 0.5, axis=1)         # [B, 11]
-        return (nll, nll_shuf, in50, in90, rank,
+        return (nll, nll_alt, in50, in90, rank,
                 jnp.mean(railed.astype(jnp.float32)),
-                jnp.log(med[:, 2]), jnp.log(theta[:, 2]))
+                jnp.log(med[:, 2]), jnp.log(theta[:, 2]), mc_sharpen)
 
     t0 = time.time()
-    nlls, shufs, in50s, in90s, ranks, rails, lmeds, ltrues = \
-        [], [], [], [], [], [], [], []
-    n_chunks = max(1, args.n_events // args.chunk)
+    nlls, shufs, in50s, in90s, ranks, rails, lmeds, ltrues, sharps = \
+        [], [], [], [], [], [], [], [], []
+    n_chunks = max(1, -(-args.n_events // args.chunk))
     for i in range(n_chunks):
         k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         out = chunk_metrics(params, k)
@@ -140,6 +191,7 @@ def main(argv=None):
         in50s.append(np.asarray(out[2])); in90s.append(np.asarray(out[3]))
         ranks.append(np.asarray(out[4])); rails.append(float(out[5]))
         lmeds.append(np.asarray(out[6])); ltrues.append(np.asarray(out[7]))
+        sharps.append(float(out[8]))
         if i == 0:
             log.info("first chunk %.1fs (compile included)",
                      time.time() - t0)
@@ -152,9 +204,10 @@ def main(argv=None):
                           "uniform").pvalue) for j in range(11)]
     # circular params rank-wrap like LeanNPE's battery: KS on the wrapped
     # rank is still uniform under calibration, so no special-casing needed
+    delta_name = "signal_delta_nll" if is_v4 else "shuffle_delta_nll"
     metrics = {
         "val_nll": float(np.mean(nlls)),
-        "shuffle_delta_nll": float(np.mean(shufs) - np.mean(nlls)),
+        delta_name: float(np.mean(shufs) - np.mean(nlls)),
         "cov50_all": dict(zip(PARAM_NAMES, np.round(cov50, 4).tolist())),
         "cov90_all": dict(zip(PARAM_NAMES, np.round(cov90, 4).tolist())),
         "cov50_violations": int(np.sum(np.abs(cov50 - 0.5) > 0.07)),
@@ -164,12 +217,16 @@ def main(argv=None):
         "sbc_pass_frac": float(np.mean(np.asarray(sbc_p) > 1e-3)),
         "spurious_railing": float(np.mean(rails)),
         "dist_corr": float(np.corrcoef(lmed, ltrue)[0, 1]),
+        "n_events_nominal": args.n_events,
         "n_events": int(n_chunks * args.chunk),
         "n_post": args.n_post,
         "wall_s": round(time.time() - t0, 1),
     }
+    if is_v4:
+        metrics["mc_sharpen"] = float(np.median(sharps))
+    gates = GATES_V4 if is_v4 else GATES
     checks = [_check(name, metrics[name], spec)
-              for name, spec in GATES.items()]
+              for name, spec in gates.items()]
     passed = all(c["passed"] for c in checks)
 
     import datetime
