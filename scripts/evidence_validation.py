@@ -178,8 +178,9 @@ def _truth_logz_15() -> float:
         else:                                    # sine prior (tilt_1)
             val, err = quad(
                 lambda t: math.exp(-(t - mu) ** 2 / (2 * sig * sig))
-                * math.sin(t) / 2.0, lo, hi, epsabs=1e-14)
-            assert err < 1e-10
+                * math.sin(t) / 2.0, lo, hi,
+                points=[mu - 5 * sig, mu, mu + 5 * sig], limit=200)
+            assert err < 1e-8 * val, (val, err)
             lz += math.log(val)
     return lz
 
