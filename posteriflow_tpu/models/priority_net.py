@@ -88,12 +88,46 @@ class SegmentEncoder(nn.Module):
         return nn.gelu(nn.Dense(self.width)(h))
 
 
+def pair_time_features(params: jnp.ndarray, mask: jnp.ndarray,
+                       snr_est: jnp.ndarray,
+                       window_s: float = 0.25) -> jnp.ndarray:
+    """[B,n,11] params + [B,n] mask + [B,n] snr_est -> [B,n,3] per-candidate
+    time-crowding features (v7, VERDICT r4 weak-#3 "Δt-conditioned head").
+
+    The excess-power channel integrates |d|² in merger-centered windows, so
+    when two candidate mergers fall inside the same ±window the energy
+    statistic double-counts both signals and its per-candidate SNR estimate
+    is corrupted — exactly the close-pair regime. Features:
+      0: asinh(min |Δt| / window) to the nearest other live candidate
+      1: number of other live candidates within ±window
+      2: asinh(expected contaminating SNR/8): Σ_j≠i snr_est_j ·
+         max(0, 1 − |Δt_ij|/window)  (triangular overlap kernel)
+    so the attention stack can condition channel trust on crowding instead
+    of inferring it from raw t_c differences."""
+    t = params[..., 8]
+    dt = jnp.abs(t[:, :, None] - t[:, None, :])
+    other = (mask[:, :, None] * mask[:, None, :]) \
+        * (1.0 - jnp.eye(t.shape[1])[None])
+    dt_live = jnp.where(other > 0, dt, jnp.inf)
+    min_dt = jnp.clip(jnp.min(dt_live, axis=-1), 0.0, 10.0)
+    n_close = jnp.sum((dt_live < window_s), axis=-1)
+    contam = jnp.sum(other * jnp.maximum(0.0, 1.0 - dt / window_s)
+                     * snr_est[:, None, :], axis=-1)
+    return jnp.stack([jnp.asinh(min_dt / window_s),
+                      n_close.astype(jnp.float32),
+                      jnp.asinh(contam / 8.0)], axis=-1)
+
+
 class PriorityNet(nn.Module):
     d_model: int = 64
     n_heads: int = 4
     n_layers: int = 2
     use_energy: bool = False    # v4+: excess-power features + aux SNR head
     use_snr_est: bool = False   # v5+: physics expected-SNR input feature
+    use_dt: bool = False        # v7: time-crowding features (pair Δt)
+    residual_snr: bool = False  # v7: score = head + w·snr_norm (oracle
+                                # residual: start AT the params-channel
+                                # oracle, learn data-driven corrections)
 
     @nn.compact
     def __call__(self, segments: jnp.ndarray, params: jnp.ndarray,
@@ -115,13 +149,17 @@ class PriorityNet(nn.Module):
         if self.use_energy:
             tok = tok + nn.gelu(nn.Dense(self.d_model, name="energy_proj")(
                 energy_features(segments)))
+        snr_norm = None
         if self.use_snr_est and snr_est is not None:
             live = snr_est if mask is None else jnp.where(mask > 0,
                                                           snr_est, 0.0)
             nmax = jnp.max(live, axis=-1, keepdims=True)
-            sf = jnp.stack([jnp.asinh(snr_est / 8.0),
-                            snr_est / jnp.maximum(nmax, 1e-6)], axis=-1)
+            snr_norm = snr_est / jnp.maximum(nmax, 1e-6)
+            sf = jnp.stack([jnp.asinh(snr_est / 8.0), snr_norm], axis=-1)
             tok = tok + nn.gelu(nn.Dense(self.d_model, name="snr_proj")(sf))
+        if self.use_dt and snr_est is not None and mask is not None:
+            tok = tok + nn.gelu(nn.Dense(self.d_model, name="dt_proj")(
+                pair_time_features(params, mask, snr_est)))
 
         attn_mask = None
         if mask is not None:
@@ -137,7 +175,20 @@ class PriorityNet(nn.Module):
             tok = tok + nn.Dense(self.d_model)(nn.gelu(
                 nn.Dense(2 * self.d_model)(h)))
 
-        score = nn.Dense(1, name="priority_head")(tok)[..., 0]
+        head_init = nn.initializers.zeros if self.residual_snr \
+            else nn.initializers.lecun_normal()
+        score = nn.Dense(1, name="priority_head",
+                         kernel_init=head_init)(tok)[..., 0]
+        if self.residual_snr and snr_norm is not None:
+            # oracle-residual parameterization: snr_norm is an unbiased
+            # estimate of the target (snr/max snr) up to candidate-param
+            # jitter, so the score STARTS at the params-channel oracle and
+            # the head only has to learn the data-driven correction —
+            # instead of rediscovering the identity map through the
+            # feature stack (close-pair bin plateaued at 0.685 with
+            # snr_est as a mere input feature, reports/priority_eval_v6*)
+            res_w = self.param("res_w", nn.initializers.ones, ())
+            score = score + res_w * snr_norm
         sigma = nn.softplus(nn.Dense(1, name="uncertainty_head")(tok)[..., 0]) \
             + 1e-3
         # affine output calibration (reference OutputCalibrator hook)

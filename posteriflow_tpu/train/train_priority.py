@@ -43,6 +43,16 @@ class PriorityTrainConfig:
     use_energy: bool = True     # v4: excess-power features + aux SNR head
     use_snr_est: bool = True    # v5: physics expected-SNR input feature
     close_boost: float = 0.0    # v6: near-tie pair gradient boost
+    use_dt: bool = False        # v7: time-crowding features
+    residual_snr: bool = False  # v7: oracle-residual score head
+    mine_pool: int = 1          # v7: hard-pair mining — simulate
+                                # mine_pool×batch events per step and keep
+                                # the batch with the SMALLEST min pairwise
+                                # target separation (close pairs are where
+                                # accuracy plateaus; reweighting the loss
+                                # (close_boost) cannot add data, mining
+                                # can). 1 = off; eval always uses the
+                                # unmined natural distribution.
 
     @property
     def sim(self) -> SimConfig:
@@ -75,7 +85,24 @@ def make_priority_batch(key: jax.Array, cfg: PriorityTrainConfig):
     from posteriflow_tpu.physics.simulator import signal_snr_amp_only
 
     k_sim, k_jit = jax.random.split(key)
-    ev = simulate_batch(k_sim, cfg.batch_size, cfg.sim)
+    n_gen = cfg.batch_size * max(cfg.mine_pool, 1)
+    ev = simulate_batch(k_sim, n_gen, cfg.sim)
+    if cfg.mine_pool > 1:
+        # hard-pair mining: keep the batch_size events whose closest live
+        # pair of normalized targets is tightest (fixed-shape top-k gather,
+        # jit-safe; events with <2 live signals sort last)
+        s_all = ev.params.shape[1]
+        m_all = (jnp.arange(s_all)[None, :]
+                 < ev.n_sig[:, None]).astype(jnp.float32)
+        tmax_all = jnp.max(ev.sig_snr, axis=1, keepdims=True)
+        tg_all = ev.sig_snr / jnp.maximum(tmax_all, 1e-6)
+        pair_live = (m_all[:, :, None] * m_all[:, None, :]) \
+            * (1.0 - jnp.eye(s_all)[None])
+        sep = jnp.abs(tg_all[:, :, None] - tg_all[:, None, :])
+        hardness = jnp.min(jnp.where(pair_live > 0, sep, jnp.inf),
+                           axis=(1, 2))
+        idx = jnp.argsort(hardness)[:cfg.batch_size]
+        ev = jax.tree.map(lambda x: x[idx], ev)
     s = ev.params.shape[1]
     mask = (jnp.arange(s)[None, :] < ev.n_sig[:, None]).astype(jnp.float32)
 
@@ -114,7 +141,8 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
     outdir.mkdir(parents=True, exist_ok=True)
 
     net = PriorityNet(d_model=cfg.d_model, use_energy=cfg.use_energy,
-                      use_snr_est=cfg.use_snr_est)
+                      use_snr_est=cfg.use_snr_est, use_dt=cfg.use_dt,
+                      residual_snr=cfg.residual_snr)
     key = jax.random.PRNGKey(seed)
     k_init, key = jax.random.split(key)
     # jitted: eager batch synthesis runs the waveform kernel per-primitive
@@ -179,7 +207,10 @@ def fit_priority(outdir: str | Path, cfg: PriorityTrainConfig =
     (outdir / "priority_params.msgpack").write_bytes(to_bytes(params))
     (outdir / "net.json").write_text(json.dumps(
         {"d_model": cfg.d_model, "use_energy": cfg.use_energy,
-         "use_snr_est": cfg.use_snr_est}))
+         "use_snr_est": cfg.use_snr_est, "use_dt": cfg.use_dt,
+         "residual_snr": cfg.residual_snr,
+         "train": {"close_boost": cfg.close_boost,
+                   "mine_pool": cfg.mine_pool}}))
     (outdir / "history.json").write_text(json.dumps(history, indent=2))
     return params, history
 
@@ -192,14 +223,18 @@ def load_priority_net(path: str | Path, d_model: int = 64,
     by fit_priority since v4) overrides the architecture kwargs, so v2/v3
     (no energy branch) and v4+ checkpoints both load with defaults."""
     from flax.serialization import from_bytes
+    use_dt = residual_snr = False
     meta = Path(path).parent / "net.json"
     if meta.exists():
         m = json.loads(meta.read_text())
         d_model = m.get("d_model", d_model)
         use_energy = m.get("use_energy", use_energy)
         use_snr_est = m.get("use_snr_est", use_snr_est)
+        use_dt = m.get("use_dt", False)
+        residual_snr = m.get("residual_snr", False)
     net = PriorityNet(d_model=d_model, use_energy=use_energy,
-                      use_snr_est=use_snr_est)
+                      use_snr_est=use_snr_est, use_dt=use_dt,
+                      residual_snr=residual_snr)
     dummy = net.init(jax.random.PRNGKey(0),
                      jnp.zeros((1, 2, 3, SEG_LEN)), jnp.ones((1, 2, 11)),
                      jnp.ones((1, 2)), with_aux=True,
@@ -218,6 +253,9 @@ if __name__ == "__main__":
     ap.add_argument("--outdir", default="model/priority_v6")
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--close-boost", type=float, default=0.0)
+    ap.add_argument("--mine-pool", type=int, default=1)
+    ap.add_argument("--v7", action="store_true",
+                    help="use_dt + residual_snr (v7 architecture)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -229,5 +267,7 @@ if __name__ == "__main__":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     logging.basicConfig(level=logging.INFO)
     fit_priority(a.outdir,
-                 PriorityTrainConfig(close_boost=a.close_boost, lr=a.lr),
+                 PriorityTrainConfig(close_boost=a.close_boost, lr=a.lr,
+                                     mine_pool=a.mine_pool,
+                                     use_dt=a.v7, residual_snr=a.v7),
                  steps=a.steps, seed=a.seed)
