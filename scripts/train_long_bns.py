@@ -154,6 +154,24 @@ def main(argv=None):
     n_par = sum(x.size for x in jax.tree.leaves(params))
     log.info("LongBNSNPE: %s params", f"{n_par:,}")
 
+    # write the architecture record UP FRONT (pending: true): a run killed
+    # by wall-clock (long CPU-mesh runs) must still leave a loadable
+    # config next to its periodic params.msgpack snapshots, or the
+    # validator/resume path cannot rebuild the net (the calibration
+    # battery overwrites this with the full record at the end)
+    cal_path = outdir / "calibration.json"
+    if not (args.resume and cal_path.exists()):
+        cal_path.write_text(json.dumps({
+            "pending": True,
+            "config": {"duration": args.duration, "steps": args.steps,
+                       "batch": args.batch, "enc": enc_cfg,
+                       "tokens": tok_cfg,
+                       "flow": {"bins": args.flow_bins} if is_v4 else {},
+                       "n_params": n_par, "mesh": args.mesh,
+                       "n_bands": args.n_bands, "per_band": args.per_band,
+                       **{k: enc_cfg[k] for k in ("d_model", "n_layers")}},
+        }, indent=2))
+
     warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup,
                                                max(args.steps, warmup + 1),
