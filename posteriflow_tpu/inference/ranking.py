@@ -37,6 +37,10 @@ _DEFAULT_NET = None
 # release export first (git-committed, durable), then the ephemeral
 # training dir (model/ is gitignored — weights there do not survive)
 _DEFAULT_NET_PATHS = (
+    # v7: oracle-residual head + time-crowding features + hard-pair
+    # mining — close-pair bin 0.713 / top-1 0.917 / tau 0.812
+    # (reports/priority_eval_v7.json; v5 was 0.665/0.904/0.781)
+    Path("model_release/priority_v7/priority_params.msgpack"),
     Path("model_release/priority_v5/priority_params.msgpack"),
     Path("model/priority_v5/priority_params.msgpack"),
 )
